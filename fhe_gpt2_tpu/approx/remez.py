@@ -1,0 +1,205 @@
+"""Multi-interval Remez exchange at arbitrary precision (host, mpmath).
+
+Counterpart of the reference's offline approximation machinery
+(common/Remez.{h,cpp} ``boot::Remez`` and common/MinicompRemez.{h,cpp}
+``minicomp::Remez``), replacing NTL/GMP 1000-bit arithmetic with mpmath.
+Runs offline only (polynomial tables are generated once and cached); nothing
+here touches JAX.
+
+Polynomials are represented in the Chebyshev basis of the bounding interval
+[-b, b] (or [lo, hi] affinely mapped), which is also what the homomorphic
+BSGS evaluator consumes (boot/polyeval.py).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import numpy as np
+from mpmath import mp, mpf, cos, acos, pi, sqrt
+
+
+@dataclass
+class ChebPoly:
+    """p(x) = sum_k c_k T_k((2x - hi - lo) / (hi - lo)) on [lo, hi]."""
+
+    coeffs: list      # mpf Chebyshev coefficients
+    lo: object
+    hi: object
+
+    @property
+    def degree(self) -> int:
+        return len(self.coeffs) - 1
+
+    def _map(self, x):
+        return (2 * x - self.hi - self.lo) / (self.hi - self.lo)
+
+    def __call__(self, x):
+        """Clenshaw evaluation at mpf/float x."""
+        t = self._map(mpf(x))
+        b1, b2 = mpf(0), mpf(0)
+        for c in reversed(self.coeffs[1:]):
+            b1, b2 = 2 * t * b1 - b2 + c, b1
+        return t * b1 - b2 + self.coeffs[0]
+
+    def monomial_coeffs(self) -> list:
+        """Coefficients in the monomial basis of the mapped variable t.
+
+        (For diagnostics/tests; homomorphic evaluation stays in Chebyshev.)
+        """
+        n = len(self.coeffs)
+        # T_k recurrence in monomial form.
+        T = [[mpf(1)], [mpf(0), mpf(1)]]
+        for k in range(2, n):
+            prev, prev2 = T[k - 1], T[k - 2]
+            cur = [mpf(0)] * (k + 1)
+            for i, c in enumerate(prev):
+                cur[i + 1] += 2 * c
+            for i, c in enumerate(prev2):
+                cur[i] -= c
+            T.append(cur)
+        out = [mpf(0)] * n
+        for k, ck in enumerate(self.coeffs):
+            for i, c in enumerate(T[k]):
+                out[i] += ck * c
+        return out
+
+
+def _cheb_vals(k: int, t):
+    """T_0..T_k at mapped point t (iterative)."""
+    vals = [mpf(1)]
+    if k >= 1:
+        vals.append(t)
+    for i in range(2, k + 1):
+        vals.append(2 * t * vals[-1] - vals[-2])
+    return vals
+
+
+def remez(func, intervals, degree: int, odd: bool = False,
+          prec_dps: int = 120, max_iter: int = 60, scan: int = 3000,
+          tol=None):
+    """Minimax polynomial approximation of `func` over a union of intervals.
+
+    intervals: list of (lo, hi) pairs (floats or mpf), ascending, disjoint.
+    odd: restrict to odd Chebyshev terms (T_1, T_3, ...) — used for sign-type
+    targets; intervals should then cover only the positive side, oddness
+    extends to the mirror image.
+
+    Returns (ChebPoly over the hull [lo_min, hi_max] — odd polys use the
+    symmetric hull [-hi_max, hi_max] — and the max error achieved).
+
+    Mirrors boot::Remez / minicomp::Remez generate_optimal_poly: solve on a
+    reference set, locate error extrema by dense scan, exchange, iterate.
+    """
+    old_dps = mp.dps
+    mp.dps = prec_dps
+    try:
+        ivs = [(mpf(a), mpf(b)) for a, b in intervals]
+        if odd:
+            hull_lo, hull_hi = -ivs[-1][1], ivs[-1][1]
+            terms = [k for k in range(1, degree + 1, 2)]
+        else:
+            hull_lo, hull_hi = ivs[0][0], ivs[-1][1]
+            terms = list(range(degree + 1))
+        n = len(terms)
+        npts = n + 1
+
+        def mapped(x):
+            return (2 * x - hull_hi - hull_lo) / (hull_hi - hull_lo)
+
+        # Initial reference: Chebyshev-like nodes distributed over intervals
+        # proportionally to length.
+        total = sum(b - a for a, b in ivs)
+        pts = []
+        alloc = []
+        for a, b in ivs:
+            alloc.append(max(2, int(round(npts * float((b - a) / total)))))
+        while sum(alloc) > npts:
+            alloc[alloc.index(max(alloc))] -= 1
+        while sum(alloc) < npts:
+            alloc[alloc.index(min(alloc))] += 1
+        for (a, b), m in zip(ivs, alloc):
+            for i in range(m):
+                theta = pi * (m - 1 - i + mpf(0.5)) / m
+                pts.append(a + (b - a) * (cos(theta) + 1) / 2)
+        pts = sorted(pts)[:npts]
+
+        err = None
+        for _ in range(max_iter):
+            # Solve: sum_j c_j T_{terms[j]}(x_i) + (-1)^i E = f(x_i)
+            A = []
+            rhs = []
+            for i, x in enumerate(pts):
+                tv = _cheb_vals(terms[-1], mapped(x))
+                A.append([tv[k] for k in terms] + [mpf(-1) ** i])
+                rhs.append(func(x))
+            sol = _solve(A, rhs)
+            coeffs_sparse = sol[:-1]
+            err = abs(sol[-1])
+            full = [mpf(0)] * (degree + 1)
+            for j, k in enumerate(terms):
+                full[k] = coeffs_sparse[j]
+            poly = ChebPoly(full, hull_lo, hull_hi)
+
+            # Find extrema of the error by dense scan + local refinement.
+            cand = []
+            for a, b in ivs:
+                xs = [a + (b - a) * i / scan for i in range(scan + 1)]
+                es = [func(x) - poly(x) for x in xs]
+                for i in range(len(xs)):
+                    if i == 0 or i == len(xs) - 1 or \
+                       (es[i] - es[i - 1]) * (es[i + 1] - es[i]) <= 0:
+                        cand.append((xs[i], es[i]))
+            # Keep alternating-sign extrema of maximal magnitude.
+            picked = []
+            for x, e in cand:
+                if not picked:
+                    picked.append((x, e))
+                elif (e > 0) == (picked[-1][1] > 0):
+                    if abs(e) > abs(picked[-1][1]):
+                        picked[-1] = (x, e)
+                else:
+                    picked.append((x, e))
+            # Need exactly npts alternating points: drop smallest from ends.
+            while len(picked) > npts:
+                if abs(picked[0][1]) < abs(picked[-1][1]):
+                    picked.pop(0)
+                else:
+                    picked.pop()
+            if len(picked) < npts:
+                break  # converged/degenerate; keep current poly
+            new_pts = [x for x, _ in picked]
+            emax = max(abs(e) for _, e in picked)
+            emin = min(abs(e) for _, e in picked)
+            pts = new_pts
+            if tol is None:
+                tol = mpf(10) ** (-(prec_dps // 2))
+            if emax - emin < tol * emax:
+                err = emax
+                break
+        return poly, err
+    finally:
+        mp.dps = old_dps
+
+
+def _solve(A, b):
+    """Gaussian elimination with partial pivoting over mpf."""
+    n = len(A)
+    M = [row[:] + [b[i]] for i, row in enumerate(A)]
+    for col in range(n):
+        piv = max(range(col, n), key=lambda r: abs(M[r][col]))
+        M[col], M[piv] = M[piv], M[col]
+        d = M[col][col]
+        for r in range(col + 1, n):
+            f = M[r][col] / d
+            for c in range(col, n + 1):
+                M[r][c] -= f * M[col][c]
+    x = [mpf(0)] * n
+    for r in range(n - 1, -1, -1):
+        s = M[r][n] - sum(M[r][c] * x[c] for c in range(r + 1, n))
+        x[r] = s / M[r][r]
+    return x
+
+
+def to_float_coeffs(poly: ChebPoly) -> np.ndarray:
+    return np.array([float(c) for c in poly.coeffs], dtype=np.float64)

@@ -1,0 +1,200 @@
+"""CKKS parameter sets and the device-resident context.
+
+Replaces the reference's ``EncryptionParameters``/``SEALContext``
+(encryptionparams.h, context.cpp) including its modifications: sparse secret
+hamming weight (encryptionparams.h:187) and sparse slots
+(encryptionparams.h:216). Unlike the reference's per-level context-data linked
+list, the context here is a flat bundle of device arrays; ops slice the limb
+axis statically per level, which jit specializes on.
+"""
+
+from __future__ import annotations
+
+import math
+from dataclasses import dataclass, field
+from functools import lru_cache
+
+import numpy as np
+import jax.numpy as jnp
+
+from . import primes, ntt as nttmod, rns
+from .modmath import barrett_ratio, shoup
+
+
+@dataclass(frozen=True)
+class CkksParams:
+    """Static CKKS parameters (host-side, hashable)."""
+
+    n: int                      # polynomial degree (2^logn)
+    moduli: tuple               # ciphertext modulus chain q_0..q_{L-1}
+    special: tuple              # special (key-switching) primes
+    scale: float                # default encoding scale
+    hamming_weight: int = 0     # sparse ternary secret weight (0 = dense)
+    sparse_slots: int = 0       # bootstrap sparse slot count (0 = n/2)
+    error_std: float = 3.2
+
+    @property
+    def levels(self) -> int:
+        return len(self.moduli)
+
+    @property
+    def slots(self) -> int:
+        return self.n // 2
+
+    @staticmethod
+    def create(logn: int, log_q0: int, log_scale: int, num_levels: int,
+               log_special: int = 0, num_special: int = 1,
+               hamming_weight: int = 0, sparse_slots: int = 0) -> "CkksParams":
+        """SEAL-style chain: [q0 (log_q0 bits), num_levels scale primes
+        (log_scale bits), special primes (log_special bits, defaults to
+        log_q0)]."""
+        n = 1 << logn
+        two_n = 2 * n
+        log_special = log_special or log_q0
+        q0 = primes.gen_primes(log_q0, 1, two_n)
+        scale_primes = primes.gen_primes(log_scale, num_levels, two_n)
+        used = set(q0) | set(scale_primes)
+        sp = []
+        below = None
+        while len(sp) < num_special:
+            cands = primes.gen_primes(log_special, num_special + len(used),
+                                      two_n, below=below)
+            sp = [p for p in cands if p not in used][:num_special]
+            below = cands[-1]
+        return CkksParams(
+            n=n,
+            moduli=tuple(q0 + scale_primes),
+            special=tuple(sp),
+            scale=float(2 ** log_scale),
+            hamming_weight=hamming_weight,
+            sparse_slots=sparse_slots,
+        )
+
+
+class CkksContext:
+    """Precomputed device constants for one parameter set.
+
+    Holds NTT tables over the full basis (q chain + special primes), per-level
+    rescale/mod-down tables, and the Galois permutation cache. Everything is
+    immutable after construction; jitted ops close over the slices they need.
+    """
+
+    def __init__(self, params: CkksParams):
+        self.params = params
+        self.n = params.n
+        self.logn = params.n.bit_length() - 1
+        self.moduli = list(params.moduli)
+        self.special = list(params.special)
+        self.all_moduli = self.moduli + self.special
+        self.L = len(self.moduli)
+        self.k_sp = len(self.special)
+        # NTT tables over every modulus in the system; level slices are views.
+        self.ntt_all = nttmod.make_ntt_tables(self.all_moduli, self.n)
+        self._level_tables: dict[tuple, nttmod.NttTables] = {}
+        self._galois_perm: dict[int, jnp.ndarray] = {}
+        self._drop_last: dict[int, rns.DropLastTables] = {}
+        self._mod_down: dict[int, rns.DropLastTables] = {}
+        # Slot index maps (see embedding.py): slot j <-> exponent 3^j mod 2n.
+        e = nttmod.point_exponents(self.n)
+        index_of = np.zeros(2 * self.n, dtype=np.int64)
+        index_of[e] = np.arange(self.n)
+        self.exp_of_slot = np.zeros(self.n // 2, dtype=np.int64)
+        g = 1
+        for j in range(self.n // 2):
+            self.exp_of_slot[j] = g
+            g = g * 3 % (2 * self.n)
+        self.slot_to_index = index_of[self.exp_of_slot]
+        self.conj_slot_to_index = index_of[(2 * self.n - self.exp_of_slot) % (2 * self.n)]
+
+    # -- table accessors ----------------------------------------------------
+
+    def tables(self, limbs: tuple[int, ...] | int) -> nttmod.NttTables:
+        """NTT tables for a static limb index set. ``int`` means limbs 0..l-1."""
+        if isinstance(limbs, int):
+            limbs = tuple(range(limbs))
+        key = tuple(limbs)
+        if key not in self._level_tables:
+            self._level_tables[key] = self.ntt_all.slice(list(key))
+        return self._level_tables[key]
+
+    def key_limbs(self, level: int) -> tuple[int, ...]:
+        """Limb index set for key-switching at `level`: q_0..q_{level-1} + specials."""
+        return tuple(range(level)) + tuple(
+            self.L + i for i in range(self.k_sp)
+        )
+
+    def drop_last_tables(self, level: int) -> rns.DropLastTables:
+        """Rescale tables: divide by q_{level-1}, keep q_0..q_{level-2}."""
+        if level not in self._drop_last:
+            self._drop_last[level] = rns.make_drop_last(
+                self.moduli[: level - 1], self.moduli[level - 1]
+            )
+        return self._drop_last[level]
+
+    def mod_down_tables(self, level: int) -> rns.DropLastTables:
+        """Key-switch mod-down tables: divide by the special prime at `level`.
+
+        (Single special prime; multi-special generalization goes through
+        rns.base_convert.)
+        """
+        assert self.k_sp == 1, "multi-special mod-down not yet wired"
+        if level not in self._mod_down:
+            self._mod_down[level] = rns.make_drop_last(
+                self.moduli[:level], self.special[0]
+            )
+        return self._mod_down[level]
+
+    def galois_perm(self, galois_elt: int) -> jnp.ndarray:
+        """NTT-domain permutation for X -> X^g, cached on device."""
+        if galois_elt not in self._galois_perm:
+            self._galois_perm[galois_elt] = jnp.asarray(
+                nttmod.galois_ntt_permutation(self.n, galois_elt)
+            )
+        return self._galois_perm[galois_elt]
+
+    def galois_elt_from_step(self, step: int) -> int:
+        """Rotation by `step` slots (left) = automorphism X -> X^{3^step}."""
+        two_n = 2 * self.n
+        step = step % (self.n // 2)
+        return pow(3, step, two_n)
+
+    @property
+    def galois_elt_conjugate(self) -> int:
+        return 2 * self.n - 1
+
+    # -- scalar helpers -----------------------------------------------------
+
+    def const_residues(self, value: int, limbs: tuple[int, ...]) -> np.ndarray:
+        """[value mod q_i] for a static limb set, as uint64 column."""
+        return np.array(
+            [value % self.all_moduli[i] for i in limbs], dtype=np.uint64
+        ).reshape(-1, 1)
+
+
+@lru_cache(maxsize=None)
+def test_params(logn: int = 10, levels: int = 4) -> CkksParams:
+    """Small parameter set for fast CPU tests."""
+    return CkksParams.create(
+        logn=logn, log_q0=50, log_scale=40, num_levels=levels,
+        log_special=51, hamming_weight=16,
+    )
+
+
+@lru_cache(maxsize=None)
+def cnn_params() -> CkksParams:
+    """Reference CNN parameter regime (infer_seal.cpp:287-322): logN=16,
+    logq0=51, logp=46, L=16 usable + 14 bootstrap levels, special 51, h=192."""
+    return CkksParams.create(
+        logn=16, log_q0=51, log_scale=46, num_levels=30,
+        log_special=51, hamming_weight=192, sparse_slots=1 << 14,
+    )
+
+
+@lru_cache(maxsize=None)
+def gpt2_params() -> CkksParams:
+    """Reference GPT-2 regime (run/infer_gpt2.cpp:63-85): logN=16, L=21+14,
+    logq0=51, logp=46, special 60, h=192."""
+    return CkksParams.create(
+        logn=16, log_q0=51, log_scale=46, num_levels=35,
+        log_special=60, hamming_weight=192, sparse_slots=1 << 14,
+    )

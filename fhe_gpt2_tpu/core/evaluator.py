@@ -1,0 +1,503 @@
+"""CKKS evaluator: the public op surface of the crypto core.
+
+Functional counterpart of the reference's Evaluator (evaluator.{h,cpp})
+including its modifications: const/vector ops (evaluator.h:1189-1213) and the
+reduced-error scale/level-matching ops of Kim et al. CT-RSA'22
+(evaluator.h:1216-1284). Differences by design (TPU-first, not a port):
+
+  * Everything is a pure function over Ciphertext pytrees; jit the composition,
+    not individual ops. No Decryptor threading through kernels (the
+    reference's debug-probe design smell — SURVEY §4).
+  * Ciphertexts stay in NTT form; rescale and key-switch mod-down use the
+    single-limb iNTT trick (divide_and_round_q_last_ntt semantics,
+    util/rns.cpp:696) formulated as batched array ops.
+  * Key switching is the SEAL-3.6 hybrid scheme (digit per limb, special
+    prime; evaluator.cpp:2281) with the digit loop expressed as one batched
+    NTT + fused multiply-accumulate — the shape XLA/MXU wants.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, replace
+from typing import Optional
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from . import embedding, ntt as nttmod
+from .context import CkksContext
+from .keys import KeyGenerator, KSwitchKey, PublicKey, SecretKey, GaloisKeys, \
+    sample_gaussian, sample_ternary, sample_uniform_rns, _to_rns
+from .modmath import (
+    add_mod, sub_mod, neg_mod, mul_mod, mul_mod_shoup, barrett_reduce,
+    barrett_ratio, shoup,
+)
+from .rns import DropLastTables
+
+
+# ---------------------------------------------------------------------------
+# Data types
+# ---------------------------------------------------------------------------
+
+@jax.tree_util.register_pytree_node_class
+@dataclass
+class Ciphertext:
+    """RNS-CKKS ciphertext. data: uint64[k, *batch, l, N] in NTT form.
+
+    The component axis comes first so c0/c1/c2 are plain leading indexes;
+    arbitrary batch dims may sit between it and the (limb, coeff) trailing
+    axes — every evaluator op broadcasts over them, so a stack of 8 packed
+    matrix ciphertexts is one array and one dispatch.
+    """
+
+    data: jnp.ndarray
+    scale: float
+
+    @property
+    def k(self) -> int:
+        return self.data.shape[0]
+
+    @property
+    def level(self) -> int:
+        return self.data.shape[-2]
+
+    @property
+    def batch(self) -> tuple:
+        return self.data.shape[1:-2]
+
+    def tree_flatten(self):
+        return (self.data,), (self.scale,)
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        return cls(data=children[0], scale=aux[0])
+
+
+@jax.tree_util.register_pytree_node_class
+@dataclass
+class Plaintext:
+    """Encoded plaintext. data: uint64[l, N] in NTT form."""
+
+    data: jnp.ndarray
+    scale: float
+
+    @property
+    def level(self) -> int:
+        return self.data.shape[-2]
+
+    def tree_flatten(self):
+        return (self.data,), (self.scale,)
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        return cls(data=children[0], scale=aux[0])
+
+
+def _scales_close(a: float, b: float, tol=1e-6):
+    return abs(a - b) <= tol * max(abs(a), abs(b))
+
+
+# ---------------------------------------------------------------------------
+# Modular sum with bounded lazy accumulation
+# ---------------------------------------------------------------------------
+
+def mod_sum(x: jnp.ndarray, q, ratio1, axis: int = 0, group: int = 8):
+    """Sum x (entries < q < 2^61) along `axis` mod q.
+
+    Accumulates raw u64 within groups of `group` (no overflow for
+    group * q < 2^64) and Barrett-reduces per group, then folds groups.
+    """
+    n = x.shape[axis]
+    x = jnp.moveaxis(x, axis, 0)
+    pad = (-n) % group
+    if pad:
+        x = jnp.concatenate([x, jnp.zeros((pad, *x.shape[1:]), x.dtype)])
+    x = x.reshape(-1, group, *x.shape[1:])
+    s = barrett_reduce(jnp.sum(x, axis=1), q, ratio1)
+    out = s[0]
+    for i in range(1, s.shape[0]):
+        out = add_mod(out, s[i], q)
+    return out
+
+
+# ---------------------------------------------------------------------------
+# Jitted cores (module-level so each shape compiles exactly once)
+# ---------------------------------------------------------------------------
+
+@jax.jit
+def _drop_last_core(x, t_rem, t_last, dlt: DropLastTables):
+    """Exact divide-and-round of NTT-form x[..., l, N] by its trailing limb
+    (divide_and_round_q_last_ntt semantics): iNTT only the dropped limb."""
+    last = nttmod._intt(x[..., -1:, :], t_last)[..., 0, :]
+    shifted = add_mod(last, dlt.half, dlt.qlast_q)
+    img = barrett_reduce(shifted[..., None, :], dlt.q, dlt.r1)
+    img = sub_mod(img, dlt.half_mod, dlt.q)
+    img = nttmod._ntt(img, t_rem)
+    diff = sub_mod(x[..., :-1, :], img, dlt.q)
+    return mul_mod_shoup(diff, dlt.inv_qlast, dlt.inv_qlast_shoup, dlt.q)
+
+
+@jax.jit
+def _switch_key_core(c, kdata, kt, lt, lt_sp, dlt: DropLastTables):
+    """Hybrid key-switch MAC (digit per limb, special prime) on c[..., l, N].
+
+    kdata: [2, l, l+k, N] key digits already sliced to the active limb set;
+    kt: tables over that limb set; lt: data-limb tables; lt_sp: special-prime
+    tables. Returns [2, ..., l, N] (mod-downed past the special prime).
+    """
+    l = c.shape[-2]
+    nk = kdata.shape[-2]
+    c_coeff = nttmod._intt(c, lt)                                   # [..., l, N]
+    r = barrett_reduce(c_coeff[..., :, None, :], kt.q, kt.ratio1)   # [..., l, nk, N]
+    tpoly = nttmod._ntt(r, kt)
+    # Exact diagonal: digit i at target limb i is the original NTT form.
+    eye = jnp.eye(l, nk, dtype=bool)[..., None]
+    tpoly = jnp.where(eye, c[..., :, None, :], tpoly)
+    batch_ndim = c.ndim - 2
+    kdata = kdata.reshape(2, *(1,) * batch_ndim, l, nk, kdata.shape[-1])
+    prod = mul_mod(tpoly[None], kdata, kt.q, kt.ratio0, kt.ratio1)
+    acc = mod_sum(prod, kt.q, kt.ratio1, axis=-3)                   # [2, ..., nk, N]
+    return _drop_last_core(acc, lt, lt_sp, dlt)
+
+
+class Evaluator:
+    """Stateless op library bound to a context (and optionally keys)."""
+
+    def __init__(self, ctx: CkksContext, relin_key: Optional[KSwitchKey] = None,
+                 galois_keys: Optional[GaloisKeys] = None):
+        self.ctx = ctx
+        self.relin_key = relin_key
+        self.galois_keys = galois_keys
+
+    # -- encoding -----------------------------------------------------------
+
+    def make_plain(self, values, scale: float, level: int) -> Plaintext:
+        """Host-encode a slot vector into an NTT-form plaintext."""
+        res = embedding.encode(values, scale, self.ctx, tuple(range(level)))
+        t = self.ctx.tables(level)
+        return Plaintext(data=nttmod.ntt(jnp.asarray(res), t), scale=scale)
+
+    def decode_plain(self, pt: Plaintext, num_slots=None) -> np.ndarray:
+        t = self.ctx.tables(pt.level)
+        res = np.asarray(nttmod.intt(pt.data, t))
+        return embedding.decode(res, pt.scale, self.ctx,
+                                tuple(range(pt.level)), num_slots)
+
+    # -- add/sub/neg --------------------------------------------------------
+
+    def _t(self, level: int):
+        return self.ctx.tables(level)
+
+    def add(self, a: Ciphertext, b: Ciphertext) -> Ciphertext:
+        assert a.level == b.level and _scales_close(a.scale, b.scale), (
+            f"add: level/scale mismatch {a.level}/{a.scale} vs {b.level}/{b.scale}")
+        t = self._t(a.level)
+        return Ciphertext(add_mod(a.data, b.data, t.q), a.scale)
+
+    def sub(self, a: Ciphertext, b: Ciphertext) -> Ciphertext:
+        assert a.level == b.level and _scales_close(a.scale, b.scale)
+        t = self._t(a.level)
+        return Ciphertext(sub_mod(a.data, b.data, t.q), a.scale)
+
+    def negate(self, a: Ciphertext) -> Ciphertext:
+        t = self._t(a.level)
+        return Ciphertext(neg_mod(a.data, t.q), a.scale)
+
+    def add_plain(self, a: Ciphertext, p: Plaintext) -> Ciphertext:
+        assert a.level == p.level and _scales_close(a.scale, p.scale)
+        t = self._t(a.level)
+        return Ciphertext(
+            a.data.at[0].set(add_mod(a.data[0], p.data, t.q)), a.scale)
+
+    def sub_plain(self, a: Ciphertext, p: Plaintext) -> Ciphertext:
+        assert a.level == p.level and _scales_close(a.scale, p.scale)
+        t = self._t(a.level)
+        return Ciphertext(
+            a.data.at[0].set(sub_mod(a.data[0], p.data, t.q)), a.scale)
+
+    # -- const/vector ops (reference's new API, evaluator.h:1189-1213) ------
+
+    def add_const(self, a: Ciphertext, value: float) -> Ciphertext:
+        """a + value broadcast over slots; free (no level/scale cost)."""
+        m = int(round(value * a.scale))
+        res = jnp.asarray(self.ctx.const_residues(m, tuple(range(a.level))))
+        t = self._t(a.level)
+        return Ciphertext(
+            a.data.at[0].set(add_mod(a.data[0], res, t.q)), a.scale)
+
+    def mul_const_int(self, a: Ciphertext, m: int) -> Ciphertext:
+        """Multiply by an exact integer (scale unchanged). double_inplace = ×2."""
+        res = jnp.asarray(self.ctx.const_residues(m, tuple(range(a.level))))
+        t = self._t(a.level)
+        return Ciphertext(
+            mul_mod(a.data, res, t.q, t.ratio0, t.ratio1), a.scale)
+
+    def mul_const(self, a: Ciphertext, value: float,
+                  const_scale: Optional[float] = None) -> Ciphertext:
+        """Multiply all slots by a real constant encoded at const_scale
+        (defaults to the context scale). Output scale multiplies."""
+        cs = const_scale if const_scale is not None else self.ctx.params.scale
+        m = int(round(value * cs))
+        out = self.mul_const_int(a, m)
+        return replace(out, scale=a.scale * cs)
+
+    def mul_plain(self, a: Ciphertext, p: Plaintext) -> Ciphertext:
+        assert a.level == p.level
+        t = self._t(a.level)
+        return Ciphertext(
+            mul_mod(a.data, p.data, t.q, t.ratio0, t.ratio1),
+            a.scale * p.scale)
+
+    def mul_vector(self, a: Ciphertext, values,
+                   const_scale: Optional[float] = None) -> Ciphertext:
+        """multiply_vector: encode `values` on the host and multiply."""
+        cs = const_scale if const_scale is not None else self.ctx.params.scale
+        return self.mul_plain(a, self.make_plain(values, cs, a.level))
+
+    # -- multiply / relinearize ---------------------------------------------
+
+    def multiply(self, a: Ciphertext, b: Ciphertext,
+                 relin: bool = True) -> Ciphertext:
+        assert a.level == b.level and a.k == 2 and b.k == 2
+        t = self._t(a.level)
+
+        def mm(x, y):
+            return mul_mod(x, y, t.q, t.ratio0, t.ratio1)
+
+        d0 = mm(a.data[0], b.data[0])
+        d1 = add_mod(mm(a.data[0], b.data[1]), mm(a.data[1], b.data[0]), t.q)
+        d2 = mm(a.data[1], b.data[1])
+        out = Ciphertext(jnp.stack([d0, d1, d2]), a.scale * b.scale)
+        if relin:
+            out = self.relinearize(out)
+        return out
+
+    def square(self, a: Ciphertext, relin: bool = True) -> Ciphertext:
+        return self.multiply(a, a, relin=relin)
+
+    def relinearize(self, a: Ciphertext) -> Ciphertext:
+        assert a.k == 3 and self.relin_key is not None
+        ks = self._switch_key(a.data[2], a.level, self.relin_key)
+        return Ciphertext(
+            jnp.stack([add_mod(a.data[0], ks[0], self._t(a.level).q),
+                       add_mod(a.data[1], ks[1], self._t(a.level).q)]),
+            a.scale)
+
+    # -- rescale / mod switch -----------------------------------------------
+
+    def _ntt_drop_last(self, x: jnp.ndarray, rem_limbs: tuple[int, ...],
+                       last_limb: int, dlt: DropLastTables) -> jnp.ndarray:
+        """Drop the trailing limb of NTT-form x[..., l, N] with exact
+        divide-and-round (divide_and_round_q_last_ntt semantics)."""
+        return _drop_last_core(
+            x, self.ctx.tables(rem_limbs), self.ctx.tables((last_limb,)), dlt)
+
+    def rescale(self, a: Ciphertext) -> Ciphertext:
+        """Divide by q_{l-1}: drops one limb, scale /= q_{l-1}."""
+        l = a.level
+        dlt = self.ctx.drop_last_tables(l)
+        data = self._ntt_drop_last(
+            a.data, tuple(range(l - 1)), l - 1, dlt)
+        return Ciphertext(data, a.scale / self.ctx.moduli[l - 1])
+
+    def mod_switch_drop(self, a: Ciphertext, levels: int = 1) -> Ciphertext:
+        """Drop limbs without scaling (mod_switch_to_next)."""
+        assert a.level - levels >= 1
+        return Ciphertext(a.data[..., : a.level - levels, :], a.scale)
+
+    def mod_switch_to(self, a: Ciphertext, level: int) -> Ciphertext:
+        return self.mod_switch_drop(a, a.level - level) if a.level > level else a
+
+    # -- key switching ------------------------------------------------------
+
+    def _switch_key(self, c: jnp.ndarray, level: int,
+                    ksk: KSwitchKey) -> jnp.ndarray:
+        """Switch an NTT-form poly c[..., l, N] to the secret key basis.
+
+        Returns [2, ..., l, N] (already mod-downed past the special prime).
+        Batched over any leading dims of c; the digit loop is one fused
+        batched NTT + multiply-accumulate (the reference's scalar loop at
+        evaluator.cpp:2281, reshaped for the MXU/VPU).
+        """
+        ctx = self.ctx
+        l = level
+        key_limbs = ctx.key_limbs(l)
+        kdata = jnp.moveaxis(
+            jnp.take(ksk.data[:l], jnp.asarray(key_limbs), axis=2), 1, 0)
+        return _switch_key_core(
+            c, kdata, ctx.tables(key_limbs), ctx.tables(l),
+            ctx.tables((ctx.L,)), ctx.mod_down_tables(l))
+
+    def apply_galois(self, a: Ciphertext, galois_elt: int) -> Ciphertext:
+        """Galois automorphism + key switch (rotate/conjugate core)."""
+        assert a.k == 2 and self.galois_keys is not None
+        perm = self.ctx.galois_perm(galois_elt)
+        permuted = jnp.take(a.data, perm, axis=-1)
+        ks = self._switch_key(permuted[1], a.level, self.galois_keys[galois_elt])
+        t = self._t(a.level)
+        return Ciphertext(
+            jnp.stack([add_mod(permuted[0], ks[0], t.q), ks[1]]), a.scale)
+
+    def rotate(self, a: Ciphertext, steps: int) -> Ciphertext:
+        """Rotate slots left by `steps` (rotate_vector semantics)."""
+        steps = steps % (self.ctx.n // 2)
+        if steps == 0:
+            return a
+        return self.apply_galois(a, self.ctx.galois_elt_from_step(steps))
+
+    def conjugate(self, a: Ciphertext) -> Ciphertext:
+        return self.apply_galois(a, self.ctx.galois_elt_conjugate)
+
+    # -- reduced-error ops (Kim et al. CT-RSA'22; evaluator.h:1216-1284) ----
+
+    def _match_scale_for_add(self, a: Ciphertext, b: Ciphertext):
+        if _scales_close(a.scale, b.scale):
+            return a, replace(b, scale=a.scale)
+        if a.scale < b.scale:
+            a, b = b, a
+        f = a.scale / b.scale
+        fi = int(round(f))
+        assert fi >= 1 and abs(f - fi) < 0.5, "scales not integer-matchable"
+        b = self.mul_const_int(b, fi)
+        return a, replace(b, scale=a.scale)
+
+    def add_reduced_error(self, a: Ciphertext, b: Ciphertext) -> Ciphertext:
+        l = min(a.level, b.level)
+        a, b = self.mod_switch_to(a, l), self.mod_switch_to(b, l)
+        a, b = self._match_scale_for_add(a, b)
+        return self.add(a, b)
+
+    def sub_reduced_error(self, a: Ciphertext, b: Ciphertext) -> Ciphertext:
+        l = min(a.level, b.level)
+        a, b = self.mod_switch_to(a, l), self.mod_switch_to(b, l)
+        if _scales_close(a.scale, b.scale):
+            return self.sub(a, replace(b, scale=a.scale))
+        if a.scale < b.scale:
+            f = int(round(b.scale / a.scale))
+            a = replace(self.mul_const_int(a, f), scale=b.scale)
+        else:
+            f = int(round(a.scale / b.scale))
+            b = replace(self.mul_const_int(b, f), scale=a.scale)
+        return self.sub(a, b)
+
+    def multiply_reduced_error(self, a: Ciphertext, b: Ciphertext,
+                               relin: bool = True) -> Ciphertext:
+        l = min(a.level, b.level)
+        return self.multiply(self.mod_switch_to(a, l),
+                             self.mod_switch_to(b, l), relin=relin)
+
+    def rescale_to_scale(self, a: Ciphertext, target: float) -> Ciphertext:
+        """Rescale once and relabel to `target` (absorbing the q/scale drift
+        as approximation error, the reduced-error convention)."""
+        out = self.rescale(a)
+        assert _scales_close(out.scale, target, tol=0.05), (out.scale, target)
+        return replace(out, scale=target)
+
+
+def stack_cts(cts: list[Ciphertext], axis: int = 0) -> Ciphertext:
+    """Stack same-shape ciphertexts along a new batch axis (after the
+    component axis): [k, l, N] x B -> [k, B, l, N]."""
+    assert all(_scales_close(c.scale, cts[0].scale) for c in cts)
+    return Ciphertext(jnp.stack([c.data for c in cts], axis=1 + axis),
+                      cts[0].scale)
+
+
+def unstack_cts(ct: Ciphertext, axis: int = 0) -> list[Ciphertext]:
+    n = ct.data.shape[1 + axis]
+    return [Ciphertext(jnp.take(ct.data, i, axis=1 + axis), ct.scale)
+            for i in range(n)]
+
+
+# ---------------------------------------------------------------------------
+# Encryptor / Decryptor (host-boundary ops)
+# ---------------------------------------------------------------------------
+
+class Encryptor:
+    def __init__(self, ctx: CkksContext, secret: Optional[SecretKey] = None,
+                 public: Optional[PublicKey] = None, seed: int = 1):
+        self.ctx = ctx
+        self.secret = secret
+        self.public = public
+        self.rng = np.random.default_rng(seed)
+
+    def encrypt_symmetric(self, pt: Plaintext) -> Ciphertext:
+        ctx, l = self.ctx, pt.level
+        t = ctx.tables(l)
+        mods = [ctx.all_moduli[i] for i in range(l)]
+        a = jnp.asarray(sample_uniform_rns(self.rng, ctx.n, mods))
+        e = jnp.asarray(_to_rns(
+            sample_gaussian(self.rng, ctx.n, ctx.params.error_std), mods))
+        s = self.secret.ntt[:l]
+        b = add_mod(
+            neg_mod(mul_mod(a, s, t.q, t.ratio0, t.ratio1), t.q),
+            nttmod.ntt(e, t), t.q)
+        b = add_mod(b, pt.data, t.q)
+        return Ciphertext(jnp.stack([b, a]), pt.scale)
+
+    def encrypt(self, pt: Plaintext) -> Ciphertext:
+        if self.public is None:
+            return self.encrypt_symmetric(pt)
+        return self.encrypt_asymmetric(pt)
+
+    def encrypt_asymmetric(self, pt: Plaintext) -> Ciphertext:
+        """pk encryption at key level, mod-down past special primes
+        (encryptor.cpp encrypt_zero semantics), then add the plaintext."""
+        ctx = self.ctx
+        all_idx = tuple(range(len(ctx.all_moduli)))
+        t = ctx.tables(all_idx)
+        mods = list(ctx.all_moduli)
+        u = jnp.asarray(_to_rns(sample_ternary(self.rng, ctx.n), mods))
+        u_ntt = nttmod.ntt(u, t)
+        cts = []
+        for c in range(2):
+            e = jnp.asarray(_to_rns(
+                sample_gaussian(self.rng, ctx.n, ctx.params.error_std), mods))
+            cts.append(add_mod(
+                mul_mod(self.public.data[c], u_ntt, t.q, t.ratio0, t.ratio1),
+                nttmod.ntt(e, t), t.q))
+        data = jnp.stack(cts)   # [2, L+k, N] at key level
+        # Mod down through each special prime (k=1 path).
+        ev = Evaluator(ctx)
+        dlt = ctx.mod_down_tables(ctx.L)
+        data = ev._ntt_drop_last(data, tuple(range(ctx.L)), ctx.L, dlt)
+        data = data[:, : pt.level]
+        tq = ctx.tables(pt.level).q
+        data = data.at[0].set(add_mod(data[0], pt.data, tq))
+        return Ciphertext(data, pt.scale)
+
+
+class Decryptor:
+    def __init__(self, ctx: CkksContext, secret: SecretKey):
+        self.ctx = ctx
+        self.secret = secret
+
+    def decrypt_to_rns(self, ct: Ciphertext) -> np.ndarray:
+        """c0 + c1·s (+ c2·s²) -> coefficient-domain RNS residues [l, N]."""
+        l = ct.level
+        t = self.ctx.tables(l)
+        s = self.secret.ntt[:l]
+        acc = ct.data[0]
+        spow = s
+        for j in range(1, ct.k):
+            acc = add_mod(
+                acc, mul_mod(ct.data[j], spow, t.q, t.ratio0, t.ratio1), t.q)
+            if j + 1 < ct.k:
+                spow = mul_mod(spow, s, t.q, t.ratio0, t.ratio1)
+        return np.asarray(nttmod.intt(acc, t))
+
+    def decrypt(self, ct: Ciphertext, num_slots=None) -> np.ndarray:
+        res = self.decrypt_to_rns(ct)
+        return embedding.decode(res, ct.scale, self.ctx,
+                                tuple(range(ct.level)), num_slots)
+
+
+def fake_bootstrap(ct: Ciphertext, dec: Decryptor, enc: Encryptor,
+                   ev: Evaluator, target_level: int,
+                   scale: Optional[float] = None) -> Ciphertext:
+    """Decrypt/re-encrypt level reset — bring-up scaffolding only, mirroring
+    the reference's fakeBootstrap (util.cpp:266-275). Replaced by boot/."""
+    scale = scale or ev.ctx.params.scale
+    z = dec.decrypt(ct)
+    pt = ev.make_plain(z, scale, target_level)
+    return enc.encrypt_symmetric(pt)

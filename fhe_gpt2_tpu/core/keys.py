@@ -1,0 +1,171 @@
+"""Key generation: sparse-ternary secret, public key, relinearization and
+Galois key-switching keys.
+
+Counterpart of the reference's KeyGenerator (keygenerator.cpp) with its
+sparse-secret modification (keygenerator.cpp:64-76 / rlwe.cpp:40-70
+``sample_poly_sparse_ternary``). Key-switching keys use the SEAL-3.6 hybrid
+scheme: one digit per ciphertext limb, a single special prime P, digit i of
+the key holding (-a_i·s + e_i) with P·s_src added into limb i
+(generate_one_kswitch_key semantics).
+
+Sampling runs host-side in numpy (keygen and encryption are boundary ops, not
+hot loops); all keys are stored NTT-form on device.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+import numpy as np
+import jax.numpy as jnp
+
+from . import ntt as nttmod
+from .context import CkksContext
+from .modmath import add_mod, sub_mod, neg_mod, mul_mod, mul_mod_shoup, shoup
+
+
+# ---------------------------------------------------------------------------
+# Host-side samplers (numpy RNG). Residues are per-limb uint64 arrays.
+# ---------------------------------------------------------------------------
+
+def _to_rns(signed: np.ndarray, moduli: list[int]) -> np.ndarray:
+    """Small signed int64 coefficients -> uint64 [L, N] residues."""
+    out = np.zeros((len(moduli), signed.shape[-1]), dtype=np.uint64)
+    for i, q in enumerate(moduli):
+        out[i] = np.mod(signed, np.int64(q)).astype(np.uint64)
+    return out
+
+
+def sample_ternary(rng: np.random.Generator, n: int, hamming_weight: int = 0):
+    """Ternary secret coefficients; sparse with given hamming weight if set.
+
+    Mirrors sample_poly_sparse_ternary (util/rlwe.cpp:40-70): exactly h
+    nonzero ±1 entries at uniform positions.
+    """
+    if hamming_weight:
+        c = np.zeros(n, dtype=np.int64)
+        pos = rng.choice(n, size=hamming_weight, replace=False)
+        c[pos] = rng.integers(0, 2, size=hamming_weight) * 2 - 1
+        return c
+    return rng.integers(-1, 2, size=n).astype(np.int64)
+
+
+def sample_gaussian(rng: np.random.Generator, n: int, std: float = 3.2):
+    return np.round(rng.normal(0.0, std, size=n)).astype(np.int64)
+
+
+def sample_uniform_rns(rng: np.random.Generator, n: int, moduli: list[int]):
+    out = np.zeros((len(moduli), n), dtype=np.uint64)
+    for i, q in enumerate(moduli):
+        out[i] = rng.integers(0, q, size=n, dtype=np.uint64)
+    return out
+
+
+# ---------------------------------------------------------------------------
+# Key containers
+# ---------------------------------------------------------------------------
+
+@dataclass
+class SecretKey:
+    ntt: jnp.ndarray       # uint64 [L+k, N], NTT form over the full basis
+    coeffs: np.ndarray     # int64 [N] ternary (host, for debug/serialization)
+
+
+@dataclass
+class PublicKey:
+    data: jnp.ndarray      # uint64 [2, L+k, N] NTT form (b, a) at key level
+
+
+@dataclass
+class KSwitchKey:
+    """data[digit] = uint64 [2, L+k, N] NTT form; digit i covers limb i."""
+    data: jnp.ndarray      # uint64 [num_digits, 2, L+k, N]
+
+
+@dataclass
+class GaloisKeys:
+    keys: dict = field(default_factory=dict)   # galois_elt -> KSwitchKey
+
+    def __contains__(self, elt):
+        return elt in self.keys
+
+    def __getitem__(self, elt) -> KSwitchKey:
+        return self.keys[elt]
+
+
+class KeyGenerator:
+    def __init__(self, ctx: CkksContext, seed: int = 0):
+        self.ctx = ctx
+        self.rng = np.random.default_rng(seed)
+        s = sample_ternary(self.rng, ctx.n, ctx.params.hamming_weight)
+        s_rns = _to_rns(s, ctx.all_moduli)
+        tables = ctx.tables(tuple(range(len(ctx.all_moduli))))
+        self.secret = SecretKey(
+            ntt=nttmod.ntt(jnp.asarray(s_rns), tables), coeffs=s
+        )
+        self._tables_all = tables
+
+    # -- helpers ------------------------------------------------------------
+
+    def _rlwe_pair(self, s_ntt: jnp.ndarray) -> jnp.ndarray:
+        """Fresh (b, a) with b = -(a·s) + e over the full basis (NTT form)."""
+        ctx = self.ctx
+        t = self._tables_all
+        a = jnp.asarray(sample_uniform_rns(self.rng, ctx.n, ctx.all_moduli))
+        e = jnp.asarray(
+            _to_rns(sample_gaussian(self.rng, ctx.n, ctx.params.error_std),
+                    ctx.all_moduli)
+        )
+        e_ntt = nttmod.ntt(e, t)
+        b = add_mod(
+            neg_mod(mul_mod(a, s_ntt, t.q, t.ratio0, t.ratio1), t.q),
+            e_ntt, t.q,
+        )
+        return jnp.stack([b, a])
+
+    def public_key(self) -> PublicKey:
+        return PublicKey(data=self._rlwe_pair(self.secret.ntt))
+
+    def _kswitch_key(self, s_src_ntt: jnp.ndarray) -> KSwitchKey:
+        """Key-switching key from s_src to the secret s (digit per q limb)."""
+        ctx = self.ctx
+        t = self._tables_all
+        L = ctx.L
+        P = 1
+        for p in ctx.special:
+            P *= p
+        digits = []
+        for i in range(L):
+            pair = self._rlwe_pair(self.secret.ntt)   # [2, L+k, N]
+            # Add P·s_src into limb i of the b component.
+            factor = jnp.uint64(P % ctx.moduli[i])
+            fsh = jnp.uint64(shoup(P % ctx.moduli[i], ctx.moduli[i]))
+            qi = jnp.uint64(ctx.moduli[i])
+            term = mul_mod_shoup(s_src_ntt[i], factor, fsh, qi)
+            pair = pair.at[0, i].set(add_mod(pair[0, i], term, qi))
+            digits.append(pair)
+        return KSwitchKey(data=jnp.stack(digits))
+
+    def relin_key(self) -> KSwitchKey:
+        t = self._tables_all
+        s2 = mul_mod(self.secret.ntt, self.secret.ntt, t.q, t.ratio0, t.ratio1)
+        return self._kswitch_key(s2)
+
+    def galois_key(self, galois_elt: int) -> KSwitchKey:
+        perm = self.ctx.galois_perm(galois_elt)
+        s_g = jnp.take(self.secret.ntt, perm, axis=-1)
+        return self._kswitch_key(s_g)
+
+    def galois_keys(self, steps: list[int], conjugate: bool = False) -> GaloisKeys:
+        """Keys for a set of rotation steps (and optionally conjugation).
+
+        The reference builds ad-hoc step lists per model (util.h:60-69,
+        infer_seal.cpp:345-360); here any declarative step set works.
+        """
+        out = GaloisKeys()
+        elts = {self.ctx.galois_elt_from_step(s) for s in steps if s % (self.ctx.n // 2) != 0}
+        if conjugate:
+            elts.add(self.ctx.galois_elt_conjugate)
+        for elt in sorted(elts):
+            out.keys[elt] = self.galois_key(elt)
+        return out

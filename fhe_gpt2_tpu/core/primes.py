@@ -1,0 +1,137 @@
+"""NTT-friendly prime generation and modular number theory (host side).
+
+Pure-Python helpers used at context-construction time only; nothing here runs
+on device. Functional parity with the reference's modulus-chain construction
+(seal-modified-3.6.6 ``util/numth.h`` / ``modulus.cpp`` semantics): primes are
+congruent to 1 mod 2N so the negacyclic NTT exists, found descending from
+2**bits.
+"""
+
+from __future__ import annotations
+
+import random
+
+_MR_BASES_64 = (2, 3, 5, 7, 11, 13, 17, 19, 23, 29, 31, 37)
+
+
+def is_prime(n: int) -> bool:
+    """Deterministic Miller-Rabin for n < 3.3e24 (covers all 64-bit values)."""
+    if n < 2:
+        return False
+    for p in _MR_BASES_64:
+        if n % p == 0:
+            return n == p
+    d = n - 1
+    r = 0
+    while d % 2 == 0:
+        d //= 2
+        r += 1
+    for a in _MR_BASES_64:
+        x = pow(a, d, n)
+        if x == 1 or x == n - 1:
+            continue
+        for _ in range(r - 1):
+            x = x * x % n
+            if x == n - 1:
+                break
+        else:
+            return False
+    return True
+
+
+def gen_primes(bits: int, count: int, two_n: int, below: int | None = None) -> list[int]:
+    """`count` primes p ≡ 1 (mod two_n), p < 2**bits, descending from 2**bits.
+
+    Matches SEAL's ``get_primes`` search direction so parameter sets built
+    with the same (bits, N) land on the same moduli.
+    """
+    out: list[int] = []
+    # Largest candidate ≡ 1 mod two_n strictly below the start point.
+    start = (below if below is not None else (1 << bits)) - 1
+    candidate = start - (start % two_n) + 1
+    if candidate > start:
+        candidate -= two_n
+    while len(out) < count:
+        if candidate <= two_n:
+            raise ValueError(f"ran out of {bits}-bit primes = 1 mod {two_n}")
+        if is_prime(candidate):
+            out.append(candidate)
+        candidate -= two_n
+    return out
+
+
+def primitive_root(p: int) -> int:
+    """Smallest generator of (Z/p)*; p must be prime."""
+    phi = p - 1
+    factors = _factorize(phi)
+    g = 2
+    while True:
+        if all(pow(g, phi // q, p) != 1 for q in factors):
+            return g
+        g += 1
+
+
+def root_of_unity(order: int, p: int) -> int:
+    """A primitive `order`-th root of unity mod p (order | p-1 required).
+
+    Uses the minimal such root (smallest integer value) for determinism, like
+    SEAL's minimal-root search.
+    """
+    if (p - 1) % order != 0:
+        raise ValueError(f"{order} does not divide {p}-1")
+    g = primitive_root(p)
+    w = pow(g, (p - 1) // order, p)
+    # Minimize over all primitive order-th roots: w^k for k coprime to order.
+    # order is a power of two here, so odd k.
+    best = w
+    cur = w
+    w2 = pow(w, 2, p)
+    for _ in range(order // 2 - 1):
+        cur = cur * w2 % p
+        if cur < best:
+            best = cur
+    return best
+
+
+def _factorize(n: int) -> set[int]:
+    """Prime factors of n (Pollard rho; n fits in 64 bits here)."""
+    out: set[int] = set()
+    stack = [n]
+    while stack:
+        m = stack.pop()
+        if m == 1:
+            continue
+        if is_prime(m):
+            out.add(m)
+            continue
+        d = _pollard_rho(m)
+        stack.append(d)
+        stack.append(m // d)
+    return out
+
+
+def _pollard_rho(n: int) -> int:
+    if n % 2 == 0:
+        return 2
+    while True:
+        x = random.randrange(2, n)
+        y = x
+        c = random.randrange(1, n)
+        d = 1
+        while d == 1:
+            x = (x * x + c) % n
+            y = (y * y + c) % n
+            y = (y * y + c) % n
+            d = _gcd(abs(x - y), n)
+        if d != n:
+            return d
+
+
+def _gcd(a: int, b: int) -> int:
+    while b:
+        a, b = b, a % b
+    return a
+
+
+def mod_inverse(a: int, p: int) -> int:
+    return pow(a, -1, p)

@@ -1,0 +1,164 @@
+"""RNS base tooling: punctured products, approximate base conversion, exact
+scaling (rescale / special-prime mod-down).
+
+Functional counterpart of the reference's ``util/rns.{h,cpp}`` (BaseConverter,
+RNSTool, divide_and_round_q_last) restricted to what the CKKS path needs, and
+reformulated as batched device ops: a base conversion is one fused
+multiply-accumulate over the source-limb axis rather than a per-coefficient
+scalar loop.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, fields
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from . import primes
+from .modmath import (
+    add_mod, sub_mod, mul_mod, mul_mod_shoup, barrett_reduce, barrett_ratio,
+    shoup,
+)
+
+
+def _u64col(vals):
+    return jnp.asarray(np.array(vals, dtype=np.uint64).reshape(-1, 1))
+
+
+@dataclass(frozen=True)
+class BaseConvTables:
+    """Constants for approximate conversion from base `src` to base `dst`.
+
+    out_j = Σ_i [x_i · (S/s_i)^{-1}]_{s_i} · (S/s_i) mod d_j   (+ small k·S slack)
+    """
+
+    src: tuple            # source moduli (host ints)
+    dst: tuple            # destination moduli
+    inv_punc: jnp.ndarray         # [ks,1]  [(S/s_i)^{-1}]_{s_i}
+    inv_punc_shoup: jnp.ndarray   # [ks,1]
+    src_q: jnp.ndarray            # [ks,1]
+    punc_mod_dst: jnp.ndarray     # [ks,kd] (S/s_i) mod d_j
+    dst_q: jnp.ndarray            # [kd,1]
+    dst_r0: jnp.ndarray           # [kd,1]
+    dst_r1: jnp.ndarray           # [kd,1]
+
+
+def _register_table_pytree(cls, aux_fields: tuple[str, ...]):
+    leaf_fields = tuple(f.name for f in fields(cls) if f.name not in aux_fields)
+
+    def flatten(t):
+        return (tuple(getattr(t, f) for f in leaf_fields),
+                tuple(getattr(t, f) for f in aux_fields))
+
+    def unflatten(aux, children):
+        return cls(**dict(zip(aux_fields, aux)), **dict(zip(leaf_fields, children)))
+
+    jax.tree_util.register_pytree_node(cls, flatten, unflatten)
+
+
+_register_table_pytree(BaseConvTables, ("src", "dst"))
+
+
+def make_base_conv(src: list[int], dst: list[int]) -> BaseConvTables:
+    S = 1
+    for s in src:
+        S *= s
+    ks, kd = len(src), len(dst)
+    inv_punc = []
+    inv_punc_sh = []
+    for s in src:
+        punc = S // s
+        iv = primes.mod_inverse(punc % s, s)
+        inv_punc.append(iv)
+        inv_punc_sh.append(shoup(iv, s))
+    punc_mod = np.zeros((ks, kd), dtype=np.uint64)
+    for i, s in enumerate(src):
+        punc = S // s
+        for j, d in enumerate(dst):
+            punc_mod[i, j] = punc % d
+    r0 = [barrett_ratio(d)[0] for d in dst]
+    r1 = [barrett_ratio(d)[1] for d in dst]
+    return BaseConvTables(
+        src=tuple(src), dst=tuple(dst),
+        inv_punc=_u64col(inv_punc), inv_punc_shoup=_u64col(inv_punc_sh),
+        src_q=_u64col(src),
+        punc_mod_dst=jnp.asarray(punc_mod),
+        dst_q=_u64col(dst), dst_r0=_u64col(r0), dst_r1=_u64col(r1),
+    )
+
+
+def base_convert(x: jnp.ndarray, t: BaseConvTables) -> jnp.ndarray:
+    """Approximate RNS base conversion.
+
+    x: uint64[..., ks, N] coefficients in the source base (coeff domain).
+    Returns uint64[..., kd, N].
+    """
+    ks, kd = len(t.src), len(t.dst)
+    y = mul_mod_shoup(x, t.inv_punc, t.inv_punc_shoup, t.src_q)  # [..., ks, N]
+    # out[..., j, n] = sum_i y[..., i, n] * punc_mod[i, j]  (mod d_j)
+    acc = None
+    for i in range(ks):
+        yi = y[..., i:i + 1, :]                     # [..., 1, N]
+        w = t.punc_mod_dst[i].reshape(kd, 1)        # [kd, 1]
+        term = mul_mod(
+            jnp.broadcast_to(yi, (*yi.shape[:-2], kd, yi.shape[-1])),
+            w, t.dst_q, t.dst_r0, t.dst_r1,
+        )
+        acc = term if acc is None else add_mod(acc, term, t.dst_q)
+    return acc
+
+
+@dataclass(frozen=True)
+class DropLastTables:
+    """Constants for exact divide-and-round by the last modulus q_last.
+
+    Mirrors the reference's ``divide_and_round_q_last_inplace``
+    (util/rns.cpp:696): x_j <- (x_j - [x_last + q_last/2]_{q_j} + q_last/2·? )
+    · q_last^{-1} mod q_j with centered rounding.
+    """
+
+    q_last: int
+    half: jnp.ndarray            # scalar uint64 q_last >> 1
+    half_mod: jnp.ndarray        # [k,1]  (q_last>>1) mod q_j
+    inv_qlast: jnp.ndarray       # [k,1]  q_last^{-1} mod q_j
+    inv_qlast_shoup: jnp.ndarray
+    q: jnp.ndarray               # [k,1] remaining moduli
+    r1: jnp.ndarray              # [k,1] barrett ratio hi for remaining moduli
+    qlast_q: jnp.ndarray         # scalar uint64 q_last
+    qlast_r1: jnp.ndarray        # scalar barrett hi for q_last
+
+
+_register_table_pytree(DropLastTables, ("q_last",))
+
+
+def make_drop_last(remaining: list[int], q_last: int) -> DropLastTables:
+    half = q_last >> 1
+    inv = [primes.mod_inverse(q_last % q, q) for q in remaining]
+    return DropLastTables(
+        q_last=q_last,
+        half=jnp.uint64(half),
+        half_mod=_u64col([half % q for q in remaining]),
+        inv_qlast=_u64col(inv),
+        inv_qlast_shoup=_u64col([shoup(v, q) for v, q in zip(inv, remaining)]),
+        q=_u64col(remaining),
+        r1=_u64col([barrett_ratio(q)[1] for q in remaining]),
+        qlast_q=jnp.uint64(q_last),
+        qlast_r1=jnp.uint64(barrett_ratio(q_last)[1]),
+    )
+
+
+def divide_round_last(x: jnp.ndarray, last: jnp.ndarray, t: DropLastTables):
+    """Exact centered divide-and-round of an RNS poly by its last modulus.
+
+    x: uint64[..., k, N] remaining limbs, last: uint64[..., N] dropped limb
+    (both in coefficient domain). Returns uint64[..., k, N].
+    """
+    # Center-round: add q_last/2 to the dropped limb, then for each remaining
+    # modulus subtract its image and multiply by q_last^{-1}.
+    shifted = add_mod(last, t.half, t.qlast_q)            # [..., N]
+    img = barrett_reduce(shifted[..., None, :], t.q, t.r1)  # [..., k, N]
+    img = sub_mod(img, t.half_mod, t.q)
+    diff = sub_mod(x, img, t.q)
+    return mul_mod_shoup(diff, t.inv_qlast, t.inv_qlast_shoup, t.q)
