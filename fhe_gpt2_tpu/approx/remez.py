@@ -77,7 +77,7 @@ def _cheb_vals(k: int, t):
 
 def remez(func, intervals, degree: int, odd: bool = False,
           prec_dps: int = 120, max_iter: int = 60, scan: int = 3000,
-          tol=None):
+          tol=None, hull=None):
     """Minimax polynomial approximation of `func` over a union of intervals.
 
     intervals: list of (lo, hi) pairs (floats or mpf), ascending, disjoint.
@@ -95,11 +95,16 @@ def remez(func, intervals, degree: int, odd: bool = False,
     mp.dps = prec_dps
     try:
         ivs = [(mpf(a), mpf(b)) for a, b in intervals]
+        # `hull` widens the Chebyshev basis domain beyond the approximation
+        # intervals so downstream evaluation at out-of-segment points (e.g.
+        # masked piecewise windows) never extrapolates the basis.
         if odd:
-            hull_lo, hull_hi = -ivs[-1][1], ivs[-1][1]
+            hull_hi = mpf(hull[1]) if hull else ivs[-1][1]
+            hull_lo = -hull_hi
             terms = [k for k in range(1, degree + 1, 2)]
         else:
-            hull_lo, hull_hi = ivs[0][0], ivs[-1][1]
+            hull_lo = mpf(hull[0]) if hull else ivs[0][0]
+            hull_hi = mpf(hull[1]) if hull else ivs[-1][1]
             terms = list(range(degree + 1))
         n = len(terms)
         npts = n + 1
@@ -203,3 +208,23 @@ def _solve(A, b):
 
 def to_float_coeffs(poly: ChebPoly) -> np.ndarray:
     return np.array([float(c) for c in poly.coeffs], dtype=np.float64)
+
+
+def cheb_interp(func, lo: float, hi: float, degree: int) -> ChebPoly:
+    """Chebyshev interpolation at Chebyshev nodes (float64, numpy).
+
+    Near-minimax (within a small factor of the best approximation) for
+    smooth functions — the fast path for high-degree fits where the full
+    Remez exchange is overkill. `func` takes/returns numpy arrays.
+    """
+    n = degree + 1
+    k = np.arange(n)
+    t = np.cos(np.pi * (k + 0.5) / n)                    # nodes in [-1, 1]
+    x = (hi + lo) / 2 + (hi - lo) / 2 * t
+    f = np.asarray(func(x), dtype=np.float64)
+    # c_j = (2 - δ_j0)/n · Σ_k f_k cos(j π (k+1/2)/n)
+    j = k[:, None]
+    c = (2.0 / n) * (f[None, :] * np.cos(np.pi * j * (k[None, :] + 0.5) / n)).sum(1)
+    c[0] /= 2.0
+    from mpmath import mpf
+    return ChebPoly([mpf(float(v)) for v in c], mpf(lo), mpf(hi))

@@ -1,0 +1,211 @@
+"""Dual-backend slot-vector abstraction for the encrypted NN kernel library.
+
+The reference maintains every kernel twice — C++ on SEAL ciphertexts
+(gpt2_ckks/.../gpt2/*.cpp) and a NumPy simulator (plain_approx/*.py). Here
+kernels are written once against this small backend protocol and run on:
+
+  * PlainBackend — numpy float64 arrays shaped [batch, slots]; rotations are
+    np.roll. The correctness oracle and the fast path for format/algorithm
+    tests (plain_approx parity).
+  * CkksBackend — batched Ciphertexts ([k, B, l, N]); rotations are Galois
+    key switches, masks are plaintext multiplies, bootstrap is real (or the
+    fake decrypt/re-encrypt during bring-up).
+
+A "value" is whatever the backend returns; kernels must treat it opaquely.
+All mask/plaintext operands are numpy arrays (host-side constants) — the
+CkksBackend encodes them on demand and caches by (array identity, level,
+scale).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, replace, field
+from typing import Optional
+
+import numpy as np
+
+from ..core.context import CkksContext
+from ..core.evaluator import (
+    Ciphertext, Decryptor, Encryptor, Evaluator, Plaintext,
+)
+
+
+class PlainBackend:
+    """Numpy float64 simulator. Values: np.ndarray [..., slots]."""
+
+    def __init__(self, slots: int):
+        self.slots = slots
+
+    # -- arithmetic ---------------------------------------------------------
+    def add(self, a, b):
+        return a + b
+
+    def sub(self, a, b):
+        return a - b
+
+    def neg(self, a):
+        return -a
+
+    def mul(self, a, b):
+        return a * b
+
+    def square(self, a):
+        return a * a
+
+    def mul_plain(self, a, v):
+        return a * v
+
+    def add_plain(self, a, v):
+        return a + v
+
+    def add_const(self, a, c):
+        return a + c
+
+    def mul_const(self, a, c):
+        return a * c
+
+    def rotate(self, a, steps: int):
+        return np.roll(a, -steps, axis=-1)
+
+    def conjugate(self, a):
+        return np.conj(a) if np.iscomplexobj(a) else a
+
+    # -- level management (no-ops in plaintext) -----------------------------
+    def level(self, a) -> int:
+        return 1 << 30
+
+    def rescale(self, a):
+        return a
+
+    def bootstrap(self, a, **kw):
+        return a
+
+    def maybe_bootstrap(self, a, need_levels: int):
+        return a
+
+    # -- I/O ----------------------------------------------------------------
+    def from_slots(self, arr: np.ndarray):
+        return np.asarray(arr, dtype=np.float64)
+
+    def to_slots(self, a) -> np.ndarray:
+        return np.asarray(a)
+
+
+@dataclass
+class CkksBackend:
+    """Encrypted backend over the evaluator; values are Ciphertexts.
+
+    Scale discipline: every value is kept at the context scale; mul/mul_plain
+    rescale immediately (reduced-error relabeling), matching the reference's
+    kernels which interleave rescales manually.
+    """
+
+    ctx: CkksContext
+    ev: Evaluator
+    enc: Optional[Encryptor] = None
+    dec: Optional[Decryptor] = None          # only for fake bootstrap / debug
+    boot: Optional[object] = None            # boot.Bootstrapper once built
+    default_level: int = 0
+    min_level_headroom: int = 3
+    _plain_cache: dict = field(default_factory=dict)
+
+    @property
+    def slots(self) -> int:
+        return self.ctx.params.slots
+
+    # -- plaintext encoding cache ------------------------------------------
+    def _plain(self, v: np.ndarray, level: int, scale: float) -> Plaintext:
+        key = (id(v), level, scale)
+        out = self._plain_cache.get(key)
+        if out is None:
+            out = self.ev.make_plain(np.asarray(v).ravel(), scale, level)
+            self._plain_cache[key] = out
+        return out
+
+    # -- arithmetic ---------------------------------------------------------
+    def add(self, a, b):
+        return self.ev.add_reduced_error(a, b)
+
+    def sub(self, a, b):
+        return self.ev.sub_reduced_error(a, b)
+
+    def neg(self, a):
+        return self.ev.negate(a)
+
+    def mul(self, a, b):
+        out = self.ev.multiply_reduced_error(a, b)
+        return self.ev.rescale_to_scale(out, self._target_scale(out))
+
+    def square(self, a):
+        out = self.ev.square(a)
+        return self.ev.rescale_to_scale(out, self._target_scale(out))
+
+    def _target_scale(self, prod: Ciphertext) -> float:
+        # After one rescale the scale is prod.scale / q_last; relabel to the
+        # context scale (reduced-error convention).
+        return self.ctx.params.scale
+
+    def mul_plain(self, a, v):
+        p = self._plain(v, a.level, self.ctx.params.scale)
+        out = self.ev.mul_plain(a, p)
+        return self.ev.rescale_to_scale(out, self.ctx.params.scale)
+
+    def add_plain(self, a, v):
+        p = self._plain(v, a.level, a.scale)
+        return self.ev.add_plain(a, p)
+
+    def add_const(self, a, c):
+        return self.ev.add_const(a, float(c))
+
+    def mul_const(self, a, c):
+        out = self.ev.mul_const(a, float(c))
+        return self.ev.rescale_to_scale(out, self.ctx.params.scale)
+
+    def rotate(self, a, steps: int):
+        return self.ev.rotate(a, steps)
+
+    def conjugate(self, a):
+        return self.ev.conjugate(a)
+
+    # -- level management ---------------------------------------------------
+    def level(self, a) -> int:
+        return a.level
+
+    def rescale(self, a):
+        return self.ev.rescale(a)
+
+    def bootstrap(self, a, **kw):
+        if self.boot is not None:
+            return self.boot.bootstrap(a, **kw)
+        # Bring-up path: decrypt/re-encrypt, like the reference's
+        # fakeBootstrap (util.cpp:266-275).
+        from ..core.evaluator import fake_bootstrap
+        assert self.dec is not None and self.enc is not None
+        return fake_bootstrap(a, self.dec, self.enc, self.ev,
+                              self.default_level or self.ctx.L)
+
+    def maybe_bootstrap(self, a, need_levels: int):
+        if a.level <= need_levels + 1:
+            return self.bootstrap(a)
+        return a
+
+    # -- I/O ----------------------------------------------------------------
+    def from_slots(self, arr: np.ndarray, level: Optional[int] = None):
+        level = level or self.default_level or self.ctx.L
+        arr = np.asarray(arr, dtype=np.float64)
+        if arr.ndim == 1:
+            pt = self.ev.make_plain(arr, self.ctx.params.scale, level)
+            return self.enc.encrypt(pt)
+        from ..core.evaluator import stack_cts
+        cts = [self.enc.encrypt(self.ev.make_plain(row, self.ctx.params.scale,
+                                                   level))
+               for row in arr]
+        return stack_cts(cts)
+
+    def to_slots(self, a) -> np.ndarray:
+        assert self.dec is not None
+        from ..core.evaluator import unstack_cts
+        if a.batch:
+            return np.stack([np.real(self.dec.decrypt(c))
+                             for c in unstack_cts(a)])
+        return np.real(self.dec.decrypt(a))
