@@ -94,7 +94,9 @@ class CkksContext:
         self._galois_perm: dict[int, jnp.ndarray] = {}
         self._drop_last: dict[int, rns.DropLastTables] = {}
         self._mod_down: dict[int, rns.DropLastTables] = {}
-        # Slot index maps (see embedding.py): slot j <-> exponent 3^j mod 2n.
+        # Slot index maps (see embedding.py): slot j <-> exponent 5^j mod 2n.
+        # Generator 5 (not 3): 5 ≡ 1 (mod 4) makes ζ^(n) = i uniformly over
+        # the orbit, which the bootstrap CtS/StC FFT factorization requires.
         e = nttmod.point_exponents(self.n)
         index_of = np.zeros(2 * self.n, dtype=np.int64)
         index_of[e] = np.arange(self.n)
@@ -102,7 +104,7 @@ class CkksContext:
         g = 1
         for j in range(self.n // 2):
             self.exp_of_slot[j] = g
-            g = g * 3 % (2 * self.n)
+            g = g * 5 % (2 * self.n)
         self.slot_to_index = index_of[self.exp_of_slot]
         self.conj_slot_to_index = index_of[(2 * self.n - self.exp_of_slot) % (2 * self.n)]
 
@@ -153,10 +155,10 @@ class CkksContext:
         return self._galois_perm[galois_elt]
 
     def galois_elt_from_step(self, step: int) -> int:
-        """Rotation by `step` slots (left) = automorphism X -> X^{3^step}."""
+        """Rotation by `step` slots (left) = automorphism X -> X^{5^step}."""
         two_n = 2 * self.n
         step = step % (self.n // 2)
-        return pow(3, step, two_n)
+        return pow(5, step, two_n)
 
     @property
     def galois_elt_conjugate(self) -> int:

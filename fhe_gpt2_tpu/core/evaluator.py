@@ -296,6 +296,7 @@ class Evaluator:
     def rescale(self, a: Ciphertext) -> Ciphertext:
         """Divide by q_{l-1}: drops one limb, scale /= q_{l-1}."""
         l = a.level
+        assert l >= 2, "rescale at level 1: out of levels (bootstrap needed)"
         dlt = self.ctx.drop_last_tables(l)
         data = self._ntt_drop_last(
             a.data, tuple(range(l - 1)), l - 1, dlt)

@@ -91,6 +91,26 @@ class PlainBackend:
         return np.asarray(a)
 
 
+class RecordingBackend(PlainBackend):
+    """PlainBackend that records every rotation amount used.
+
+    Run any kernel/model once on host data to infer the exact Galois key set
+    it needs — the declarative replacement for the reference's hand-written
+    rotation-key lists (util.h:60-69, infer_seal.cpp:345-360) and its
+    surefire_rotate on-demand keygen hack (util.cpp:344)."""
+
+    def __init__(self, slots: int):
+        super().__init__(slots)
+        self.steps: set[int] = set()
+
+    def rotate(self, a, steps: int):
+        self.steps.add(steps % self.slots)
+        return super().rotate(a, steps)
+
+    def key_steps(self) -> list[int]:
+        return sorted(s for s in self.steps if s)
+
+
 @dataclass
 class CkksBackend:
     """Encrypted backend over the evaluator; values are Ciphertexts.
@@ -158,7 +178,11 @@ class CkksBackend:
         return self.ev.add_const(a, float(c))
 
     def mul_const(self, a, c):
-        out = self.ev.mul_const(a, float(c))
+        c = float(c)
+        if c == int(c) and abs(c) < 2 ** 40:
+            # Exact integer multiply: free (no level, no scale change).
+            return self.ev.mul_const_int(a, int(c))
+        out = self.ev.mul_const(a, c)
         return self.ev.rescale_to_scale(out, self.ctx.params.scale)
 
     def rotate(self, a, steps: int):

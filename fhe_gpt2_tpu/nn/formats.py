@@ -103,15 +103,20 @@ def prefold_layout(rows: int, cols: int, slots: int) -> StridedLayout:
 # Spec builders
 # ---------------------------------------------------------------------------
 
-def matmul_tight_spec(W: np.ndarray, rows: int, slots: int,
-                      name: str = "matmul") -> LTSpec:
-    """A @ W for A [rows, d] in TightLayout, W [d, d] plaintext; output
-    [rows, d] TightLayout. Analytic diagonal construction: the rotation
-    amount of entry (k -> c) is (k - c) mod slots, independent of the row."""
-    d = W.shape[0]
+def matmul_spec(W: np.ndarray, layout, name: str = "matmul") -> LTSpec:
+    """A @ W for A [rows, d] in `layout` (Tight or same-stride Strided),
+    W [d, d] plaintext; output in the same layout.
+
+    Analytic diagonal construction: for both layout families the rotation
+    amount of entry (k -> c) is (k - c) mod slots, independent of the row —
+    in the strided case rows never cross ct boundaries, in the tight case
+    boundary rows just split across (src_ct, dst_ct) pairs. This is the
+    LT-engine replacement for the reference's fold matmul
+    (row_matrix_multiplication_seal / generic_matrix_mul)."""
+    d = layout.cols
+    rows = layout.rows
+    slots = layout.slots
     assert W.shape == (d, d)
-    lin = TightLayout(rows, d, slots)
-    lout = TightLayout(rows, d, slots)
     diagonals: dict = {}
     r_idx = np.arange(rows)
     for delta in range(-(d - 1), d):
@@ -120,12 +125,14 @@ def matmul_tight_spec(W: np.ndarray, rows: int, slots: int,
             continue
         k = c + delta
         w = W[k, c]                                  # [nc]
-        # dst entries for all rows at once
-        dst_g = r_idx[:, None] * d + c[None, :]      # [rows, nc]
-        src_g = r_idx[:, None] * d + k[None, :]
-        dct, dsl = dst_g // slots, dst_g % slots
-        sct = src_g // slots
-        rho = delta % slots
+        dct, dsl = layout.place(r_idx[:, None], c[None, :])
+        sct, ssl = layout.place(r_idx[:, None], k[None, :])
+        dsl = np.broadcast_to(dsl, (rows, len(c)))
+        dct = np.broadcast_to(dct, dsl.shape)
+        sct = np.broadcast_to(sct, dsl.shape)
+        ssl = np.broadcast_to(ssl, dsl.shape)
+        rho = int((ssl.ravel()[0] - dsl.ravel()[0]) % slots)
+        # (ssl - dsl) is delta for every entry in both layout families.
         for s_ct in np.unique(sct):
             for d_ct in np.unique(dct):
                 sel = (sct == s_ct) & (dct == d_ct)
@@ -136,15 +143,21 @@ def matmul_tight_spec(W: np.ndarray, rows: int, slots: int,
                 if mask is None:
                     mask = np.zeros(slots)
                     diagonals[key] = mask
-                np.add.at(mask, dsl[sel], np.broadcast_to(w, dst_g.shape)[sel])
-    return LTSpec(slots=slots, n_src=lin.n_cts, n_dst=lout.n_cts,
+                np.add.at(mask, dsl[sel], np.broadcast_to(w, dsl.shape)[sel])
+    return LTSpec(slots=slots, n_src=layout.n_cts, n_dst=layout.n_cts,
                   diagonals=diagonals, name=name)
 
 
-def blocks_matmul_specs(W: np.ndarray, rows: int, d: int, slots: int,
-                        name: str = "mm") -> list[list[LTSpec]]:
-    """Rectangular [K, C] matmul as square d×d blocks: returns
-    specs[ko][co] mapping input column-group ko to output column-group co."""
+def matmul_tight_spec(W: np.ndarray, rows: int, slots: int,
+                      name: str = "matmul") -> LTSpec:
+    return matmul_spec(W, TightLayout(rows, W.shape[0], slots), name)
+
+
+def blocks_matmul_specs(W: np.ndarray, layout, name: str = "mm"):
+    """Rectangular [K, C] matmul as square d×d blocks over column groups in
+    `layout` (d = layout.cols): specs[ko][co] maps input group ko to output
+    group co; outputs are summed over ko by the caller."""
+    d = layout.cols
     K, C = W.shape
     assert K % d == 0 and C % d == 0
     out = []
@@ -152,8 +165,7 @@ def blocks_matmul_specs(W: np.ndarray, rows: int, d: int, slots: int,
         row = []
         for co in range(C // d):
             blk = W[ko * d:(ko + 1) * d, co * d:(co + 1) * d]
-            row.append(matmul_tight_spec(blk, rows, slots,
-                                         name=f"{name}[{ko},{co}]"))
+            row.append(matmul_spec(blk, layout, name=f"{name}[{ko},{co}]"))
         out.append(row)
     return out
 
@@ -176,13 +188,14 @@ def repack_spec(lin, lout, name: str = "repack") -> LTSpec:
 
 
 def head_split_spec(rows: int, d: int, heads: int, slots: int,
-                    name: str = "head_split") -> tuple[LTSpec, StridedLayout]:
-    """Tight [rows, d] -> per-head StridedLayout cts (head h = dst ct h).
+                    lin=None, name: str = "head_split"):
+    """[rows, d] (tight or strided `lin`) -> per-head StridedLayout cts
+    (head h = dst ct h).
 
     Head ct layout: row r at r·2·p2(dh) + c, dh = d // heads — the
     reference's Q/K per-head format (MatrixMul.cpp attn_proj_row)."""
     dh = d // heads
-    lin = TightLayout(rows, d, slots)
+    lin = lin or TightLayout(rows, d, slots)
     lhead = StridedLayout(rows, dh, slots, stride=2 * p2(dh))
     assert lhead.n_cts == 1, "head format must fit one ct"
     r, c = _grid(rows, dh)
@@ -202,11 +215,11 @@ def head_split_spec(rows: int, d: int, heads: int, slots: int,
 
 
 def head_merge_spec(rows: int, d: int, heads: int, slots: int,
-                    src_stride: int, src_cols: int,
+                    src_stride: int, src_cols: int, lout=None,
                     name: str = "head_merge") -> LTSpec:
-    """Per-head strided cts (src ct h holds [rows, src_cols]) -> tight
-    [rows, d] with head h occupying columns [h·src_cols, (h+1)·src_cols)."""
-    lout = TightLayout(rows, d, slots)
+    """Per-head strided cts (src ct h holds [rows, src_cols]) -> [rows, d]
+    (tight or strided `lout`) with head h at columns [h·sc, (h+1)·sc)."""
+    lout = lout or TightLayout(rows, d, slots)
     lhead = StridedLayout(rows, src_cols, slots, stride=src_stride)
     r, c = _grid(rows, src_cols)
     dcts, dsls, scts, ssls = [], [], [], []

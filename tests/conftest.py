@@ -18,7 +18,10 @@ if "xla_force_host_platform_device_count" not in flags:
 import jax  # noqa: E402
 
 jax.config.update("jax_enable_x64", True)
+# The axon TPU plugin ignores the JAX_PLATFORMS env var; the config update is
+# the only reliable way to force the CPU backend for tests.
+jax.config.update("jax_platforms", "cpu")
 # Persistent compilation cache: test runs on this host are compile-bound.
-jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
+jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache_cpu")
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
 jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)

@@ -52,7 +52,7 @@ def test_encode_decode_roundtrip(setup):
 
 
 def test_rotation_slot_convention(setup):
-    """Coefficient-domain automorphism X->X^{3^r} rotates slots left by r."""
+    """Coefficient-domain automorphism X->X^{5^r} rotates slots left by r."""
     ctx, ev, enc, dec = setup
     rng = np.random.default_rng(1)
     z = rand_vec(rng)

@@ -1,0 +1,93 @@
+"""Encrypted NN kernel integration tests (small parameters, real CKKS).
+
+Follows the reference's pattern of testing every kernel on a full real
+context (run_approx_test.cpp) — here at toy ring size (no security, fast CPU
+execution) with Galois keys inferred by a RecordingBackend dry run.
+"""
+
+import numpy as np
+import pytest
+
+from fhe_gpt2_tpu.core.context import CkksContext, CkksParams
+from fhe_gpt2_tpu.core.evaluator import Decryptor, Encryptor, Evaluator
+from fhe_gpt2_tpu.core.keys import KeyGenerator
+from fhe_gpt2_tpu.nn import kernels as K
+from fhe_gpt2_tpu.nn import layers as L
+from fhe_gpt2_tpu.nn.backend import CkksBackend, PlainBackend, RecordingBackend
+from fhe_gpt2_tpu.nn.formats import TightLayout, matmul_spec
+from fhe_gpt2_tpu.nn.linear import apply_lt
+
+LOGN = 11
+LEVELS = 22
+SLOTS = 1 << (LOGN - 1)
+
+
+def make_backend(steps):
+    params = CkksParams.create(
+        logn=LOGN, log_q0=50, log_scale=40, num_levels=LEVELS,
+        log_special=51, hamming_weight=32)
+    ctx = CkksContext(params)
+    kg = KeyGenerator(ctx, seed=5)
+    ev = Evaluator(ctx, relin_key=kg.relin_key(),
+                   galois_keys=kg.galois_keys(steps=steps))
+    enc = Encryptor(ctx, secret=kg.secret, seed=6)
+    dec = Decryptor(ctx, kg.secret)
+    return CkksBackend(ctx=ctx, ev=ev, enc=enc, dec=dec, default_level=LEVELS)
+
+
+@pytest.mark.slow
+def test_encrypted_fold_and_matmul():
+    """fold_sum + one BSGS LT matmul, encrypted vs plain."""
+    rng = np.random.default_rng(0)
+    rows, d = 8, 12
+    lay = TightLayout(rows, d, SLOTS)
+    A = rng.standard_normal((rows, d)) * 0.5
+    W = rng.standard_normal((d, d)) * 0.3
+    spec = matmul_spec(W, lay)
+    plan = spec.bsgs_plan()
+
+    # Dry-run on the recorder to infer the Galois key set.
+    rec = RecordingBackend(SLOTS)
+    xs_p = list(lay.pack(A))
+    _ = apply_lt(rec, plan, xs_p)
+    _ = K.fold_sum(rec, xs_p[0], 8)
+    B = make_backend(rec.key_steps())
+
+    x_enc = [B.from_slots(v) for v in xs_p]
+    out = apply_lt(B, plan, x_enc)
+    got = np.stack([B.to_slots(o) for o in out])
+    want = np.stack(apply_lt(PlainBackend(SLOTS), plan, xs_p))
+    assert np.abs(got - want).max() < 1e-4
+    assert lay.unpack(got) == pytest.approx(A @ W, abs=1e-4)
+
+    f_enc = B.to_slots(K.fold_sum(B, x_enc[0], 8))
+    f_pln = K.fold_sum(PlainBackend(SLOTS), xs_p[0], 8)
+    assert np.abs(f_enc - f_pln).max() < 1e-4
+
+
+@pytest.mark.slow
+def test_encrypted_layer_norm():
+    """Full LN (folds + square + Newton rsqrt) encrypted vs plain backend."""
+    rng = np.random.default_rng(1)
+    sh = L.GPT2Shapes(slots=SLOTS, seq=8, hidden=16, heads=4)
+    A = rng.standard_normal((sh.seq, sh.hidden))
+    gamma = rng.uniform(0.8, 1.2, sh.hidden)
+    beta = rng.uniform(-0.1, 0.1, sh.hidden)
+    z = sh.hidden * (A - A.mean(-1, keepdims=True))
+    ss = (z ** 2).sum(-1).mean()
+    ln = L.build_ln_plans(sh, gamma, beta, newton_init=ss, iters=3, eps=1e-4)
+
+    xs_p = list(sh.act.pack(A))
+    rec = RecordingBackend(SLOTS)
+    _ = L.layer_norm(rec, xs_p, sh, ln)
+    B = make_backend(rec.key_steps())
+
+    xs_e = [B.from_slots(v) for v in xs_p]
+    out_e = L.layer_norm(B, xs_e, sh, ln)
+    got = sh.act.unpack(np.stack([B.to_slots(o) for o in out_e]))
+    want = sh.act.unpack(np.stack(L.layer_norm(PlainBackend(SLOTS), xs_p, sh, ln)))
+    assert np.abs(got - want).max() < 1e-3
+    # And against the true LN oracle (approximation-level check).
+    mu = A.mean(-1, keepdims=True)
+    true = (A - mu) / np.sqrt(((A - mu) ** 2).mean(-1, keepdims=True)) * gamma + beta
+    assert np.abs(got - true).max() < 0.05

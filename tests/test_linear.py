@@ -89,8 +89,8 @@ def test_blocks_matmul_rectangular():
     rng = np.random.default_rng(5)
     A = rng.standard_normal((rows, K))
     W = rng.standard_normal((K, C))
-    specs = F.blocks_matmul_specs(W, rows, d, slots)
     lay = F.TightLayout(rows, d, slots)
+    specs = F.blocks_matmul_specs(W, lay)
     B = PlainBackend(slots)
     groups_in = [list(lay.pack(A[:, k * d:(k + 1) * d])) for k in range(K // d)]
     outs = []
