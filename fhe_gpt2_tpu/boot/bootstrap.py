@@ -1,0 +1,254 @@
+"""Full CKKS bootstrapping: ModRaise → SubSum → CoeffToSlot → EvalMod →
+SlotToCoeff.
+
+Counterpart of the reference's Bootstrapper/ModularReducer
+(ckks_bootstrapping/Bootstrapper.cpp:2906-3455, ModularReducer.cpp) rebuilt
+on this framework's primitives:
+
+  * CtS/StC are the factorized special-FFT LT specs (boot/fft.py) applied
+    with the generic BSGS LT engine — the counterpart of the reference's
+    2/3-factor sfl matrices and bsgs_linear_transform loops.
+  * EvalMod is a Remez minimax cosine (multi-interval around the integers,
+    like RemezCos) evaluated with the depth-log Chebyshev planner, followed
+    by double-angle iterations and an arcsin correction polynomial.
+  * Sparse slots (the reference's bootstrap_sparse_*) come from SubSum +
+    subring-sized FFT factors tiled across the replicated slot groups.
+
+Scale bookkeeping follows the reference's trick (Bootstrapper.cpp:3092):
+after ModRaise the ciphertext scale is *relabeled* q0, so slot values are
+x = (Δ/q0)·m + I; EvalMod computes sin(2πx)/(2π) ≈ (Δ/q0)·m and the output
+is relabeled Δ — no extra multiplications.
+"""
+
+from __future__ import annotations
+
+import math
+from dataclasses import dataclass
+from functools import partial
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from mpmath import mp, mpf, cos, pi as mp_pi, asin as mp_asin
+
+from ..approx.chebeval import make_plan, eval_plan
+from ..approx.remez import remez, to_float_coeffs
+from ..core import ntt as nttmod
+from ..core.evaluator import Ciphertext
+from ..core.modmath import barrett_reduce, sub_mod
+from ..nn.linear import LTSpec, apply_lt
+from . import fft
+
+
+# ---------------------------------------------------------------------------
+# ModRaise (Bootstrapper.cpp:2906-2960 semantics)
+# ---------------------------------------------------------------------------
+
+@jax.jit
+def _mod_raise_core(x, t_q0, t_full, q0_img, q0_half):
+    """x: uint64[k, 1, N] NTT form mod q0 -> uint64[k, L, N] NTT form.
+
+    Centered lift: v in [0,q0) maps to v (if v <= q0/2) else v - q0, reduced
+    into each target modulus.
+    """
+    coeff = nttmod._intt(x, t_q0)[..., 0, :]          # [k, N] mod q0
+    big = coeff > q0_half
+    r = barrett_reduce(coeff[..., None, :], t_full.q, t_full.ratio1)
+    r = jnp.where(big[..., None, :], sub_mod(r, q0_img, t_full.q), r)
+    return nttmod._ntt(r, t_full)
+
+
+# ---------------------------------------------------------------------------
+# EvalMod polynomial generation (ModularReducer semantics)
+# ---------------------------------------------------------------------------
+
+@dataclass
+class EvalModPoly:
+    cos_plan: object          # Chebyshev plan for cos(2π(x-0.25)/sf) on ±K·[..]
+    num_double: int
+    arcsin_plan: object | None
+    K: int
+    eps: float
+    arcsin_coeffs: object = None   # raw coeffs (for amplitude re-scaling)
+    amp: float = 1.0               # folded output amplitude (q0/Δ)
+
+    def with_amplitude(self, amp: float) -> "EvalModPoly":
+        """Fold an output amplitude into the final correction polynomial —
+        how the (Δ/q0) value ratio is undone without extra multiplies."""
+        from dataclasses import replace as _rep
+        ap = None
+        if self.arcsin_coeffs is not None:
+            c, lo, hi = self.arcsin_coeffs
+            ap = make_plan(np.asarray(c) * amp, lo, hi)
+        return _rep(self, arcsin_plan=ap, amp=amp)
+
+
+def make_evalmod(K: int = 12, eps: float = 2 ** -8, degree: int = 30,
+                 num_double: int = 2, arcsin_degree: int = 3,
+                 prec_dps: int = 80) -> EvalModPoly:
+    """Remez cosine over ∪_{i=-K..K} [i-eps, i+eps], then double-angle and
+    arcsin correction (RemezCos/RemezArcsin + ModularReducer pipeline)."""
+    sf = 1 << num_double
+    intervals = [(mpf(i) - eps, mpf(i) + eps) for i in range(-K, K + 1)]
+
+    def target(x):
+        return cos(2 * mp_pi * (x - mpf("0.25")) / sf)
+
+    poly, err = remez(target, intervals, degree, prec_dps=prec_dps,
+                      scan=400)
+    cos_plan = make_plan(to_float_coeffs(poly), float(poly.lo), float(poly.hi))
+    arcsin_plan = None
+    if arcsin_degree > 1:
+        # Odd correction poly asin(t)/(2π): the argument is sin(2πf) with
+        # |f| <= eps, so fit only the tiny range |t| <= ~2π·eps.
+        bound = min(0.99, 2 * math.pi * eps * 1.5)
+        ap, _ = remez(lambda t: mp_asin(t) / (2 * mp_pi),
+                      [(mpf(bound) / 1000, mpf(bound))], arcsin_degree,
+                      odd=True, prec_dps=prec_dps, scan=600)
+        arcsin_plan = make_plan(to_float_coeffs(ap), float(ap.lo), float(ap.hi))
+        arcsin_coeffs = (to_float_coeffs(ap), float(ap.lo), float(ap.hi))
+    else:
+        arcsin_coeffs = None
+    return EvalModPoly(cos_plan=cos_plan, num_double=num_double,
+                       arcsin_plan=arcsin_plan, K=K, eps=eps,
+                       arcsin_coeffs=arcsin_coeffs)
+
+
+def eval_mod(B, x, em: EvalModPoly):
+    """y ≈ frac_centered(x) = x - round(x), for x within ±(K+eps) of integers.
+
+    cos(2π(x-0.25)/sf) --double-angle--> cos(2πx - π/2) = sin(2πx),
+    then asin(·)/(2π) (or linear 1/(2π)) gives the centered fraction.
+    """
+    # Map x into the cos argument domain: the plan's domain is [-K-1, K+1].
+    y = eval_plan(B, em.cos_plan, x)
+    for _ in range(em.num_double):
+        y = B.add_const(B.mul_const(B.square(y), 2.0), -1.0)
+    if em.arcsin_plan is not None:
+        y = eval_plan(B, em.arcsin_plan, y)
+    else:
+        y = B.mul_const(y, em.amp / (2 * math.pi))
+    return y
+
+
+# ---------------------------------------------------------------------------
+# Bootstrapper
+# ---------------------------------------------------------------------------
+
+class Bootstrapper:
+    """Bootstraps level-exhausted ciphertexts back to `target_level`.
+
+    Built over a CkksBackend (for LT/poly kernels) — construction
+    precomputes FFT factor plans and the EvalMod polynomials.
+    """
+
+    def __init__(self, backend, num_slots: int | None = None,
+                 target_level: int | None = None, cts_factors: int = 2,
+                 stc_factors: int = 2, evalmod: EvalModPoly | None = None):
+        B = backend
+        ctx = B.ctx
+        self.B = B
+        self.ctx = ctx
+        self.n = ctx.params.slots
+        self.ns = num_slots or (ctx.params.sparse_slots or self.n)
+        self.target_level = target_level or ctx.L
+        em = evalmod or make_evalmod()
+        # Fold q0/Δ into the output amplitude (see scale bookkeeping note).
+        self.em = em.with_amplitude(float(ctx.moduli[0]) / ctx.params.scale)
+        two_n_sub = 4 * self.ns
+        exp_sub = (ctx.exp_of_slot[: self.ns] % two_n_sub).astype(np.int64)
+        rep = self.n // self.ns
+        # Inverse factors (CoeffToSlot: slots -> scrambled coeffs) include
+        # 1/2 per stage (total 1/(2·ns)·2 = ...); fold the SubSum replication
+        # factor 1/rep into the first factor.
+        inv = fft.build_fft_factors(self.ns, exp_sub, two_n_sub, inverse=True,
+                                    num_factors=cts_factors,
+                                    scale_all=1.0 / rep)
+        fwd = fft.build_fft_factors(self.ns, exp_sub, two_n_sub, inverse=False,
+                                    num_factors=stc_factors)
+        self.cts_plans = [self._plan(f, "cts") for f in inv]
+        self.stc_plans = [self._plan(f, "stc") for f in fwd]
+        self.subsum_steps = [self.ns * (1 << i)
+                             for i in range(int(math.log2(rep)))]
+
+    def _plan(self, diag: dict, name: str):
+        rep = self.n // self.ns
+        tiled = {(int(r), 0, 0): np.tile(v, rep) for r, v in diag.items()}
+        spec = LTSpec(slots=self.n, n_src=1, n_dst=1, diagonals=tiled,
+                      name=name)
+        return spec.bsgs_plan()
+
+    def required_steps(self) -> list[int]:
+        """Rotation steps needed (for Galois keygen) incl. conjugation flag."""
+        steps = set(self.subsum_steps)
+        for plan in self.cts_plans + self.stc_plans:
+            steps.update(a for a in plan.baby_amounts if a)
+            steps.update(jg for jg in plan.groups if jg)
+        return sorted(steps)
+
+    # -- pipeline -----------------------------------------------------------
+
+    def bootstrap(self, ct: Ciphertext, **kw) -> Ciphertext:
+        B, ctx = self.B, self.ctx
+        ev = B.ev
+        assert ct.k == 2
+        delta = ct.scale
+        # Exhaust to level 1 (the reference's util.cpp:318 wrapper).
+        if ct.level > 1:
+            ct = ev.mod_switch_to(ct, 1)
+        q0 = ctx.moduli[0]
+        # ModRaise to the full chain; relabel scale := q0.
+        L = self.ctx.L
+        t_q0 = ctx.tables((0,))
+        t_full = ctx.tables(L)
+        q0_img = jnp.asarray(ctx.const_residues(q0, tuple(range(L))))
+        raised = _mod_raise_core(ct.data, t_q0, t_full, q0_img,
+                                 jnp.uint64(q0 >> 1))
+        ct = Ciphertext(raised, float(q0))
+        # SubSum (sparse slots): project onto the subring.
+        for s in self.subsum_steps:
+            ct = ev.add(ct, ev.rotate(ct, s))
+        # CoeffToSlot: inverse FFT factors, then split real/imag parts.
+        [y] = self._apply(self.cts_plans, [ct])
+        yc = ev.conjugate(y)
+        ct_re = B.mul_const(ev.add(y, yc), 0.5)
+        ct_im_t = ev.sub(y, yc)           # = 2i·imag
+        ct_im = B.mul_const(self._mul_neg_i(ct_im_t), 0.5)
+        # EvalMod both parts: values are (Δ/q0)m + I -> (Δ/q0)m.
+        ct_re = eval_mod(B, ct_re, self.em)
+        ct_im = eval_mod(B, ct_im, self.em)
+        # Recombine y' = re + i·im and SlotToCoeff.
+        y2 = B.add(ct_re, self._mul_i(ct_im))
+        [out] = self._apply(self.stc_plans, [y2])
+        # Output values are already m at the context scale (amplitude folded
+        # into the arcsin stage); relabel to the incoming scale exactly.
+        from dataclasses import replace
+        return replace(out, scale=delta)
+
+    def _apply(self, plans, xs):
+        for p in plans:
+            xs = apply_lt(self.B, p, xs)
+        return xs
+
+    def _mul_i(self, ct):
+        """Multiply slots by i (plaintext constant vector of i)."""
+        return self.B.mul_plain(ct, self._i_vec)
+
+    def _mul_neg_i(self, ct):
+        return self.B.mul_plain(ct, self._neg_i_vec)
+
+    @property
+    def _i_vec(self):
+        v = getattr(self, "_iv", None)
+        if v is None:
+            v = np.full(self.n, 1j)
+            self._iv = v
+        return v
+
+    @property
+    def _neg_i_vec(self):
+        v = getattr(self, "_niv", None)
+        if v is None:
+            v = np.full(self.n, -1j)
+            self._niv = v
+        return v

@@ -1,0 +1,214 @@
+"""Encrypted ResNet-20/32/44/56/110 on CIFAR (the reference's flagship CNN
+pipeline, cnn_ckks/.../cnn/infer_seal.cpp:251-584).
+
+Structure: conv3x3(3→16) + BN + ReLU, then 3 stages of n residual blocks at
+widths (16, 32, 64) with stride-2 transitions, global avgpool, FC(64→10).
+n = (depth − 2) / 6 (20→3, 32→5, 44→7, 56→9, 110→18).
+
+All linear pieces (conv+folded-BN, downsample, pool, FC) are LT specs; ReLU
+is the composite-minimax sign kernel with B-boundary scaling
+(ReLU_seal/minimax_ReLU_seal semantics, B=40); bootstraps interleave per the
+level budget via backend.maybe_bootstrap.
+"""
+
+from __future__ import annotations
+
+import os
+from dataclasses import dataclass, field
+from typing import Optional
+
+import numpy as np
+
+from ..nn import kernels as K
+from ..nn.linear import apply_lt
+from .conv import PlanarLayout, avgpool_spec, bias_vector, conv2d_spec, \
+    fc_spec, fold_bn
+
+
+def load_reference_weights(depth: int = 20,
+                           root: str = "/root/reference/pretrained_parameters"
+                           ) -> dict:
+    """Read the reference's per-layer text weight files
+    (format documented in cnn_ckks README; reader parity with
+    infer_seal.cpp:33-106 import_parameters_cifar10)."""
+    d = os.path.join(root, f"resnet{depth}_new")
+
+    def arr(name, shape=None):
+        v = np.loadtxt(os.path.join(d, name + ".txt"))
+        return v.reshape(shape) if shape else v
+
+    n = (depth - 2) // 6
+    w = {}
+    w["conv1"] = arr("conv1_weight", (16, 3, 3, 3))
+    for k in ("weight", "bias", "running_mean", "running_var"):
+        w[f"bn1_{k}"] = arr(f"bn1_{k}")
+    widths = [16, 32, 64]
+    for s in range(1, 4):
+        cw = widths[s - 1]
+        cin = widths[max(0, s - 2)] if s > 1 else 16
+        for b in range(n):
+            p = f"layer{s}_{b}_"
+            c1_in = cin if b == 0 else cw
+            w[p + "conv1"] = arr(p + "conv1_weight", (cw, c1_in, 3, 3))
+            w[p + "conv2"] = arr(p + "conv2_weight", (cw, cw, 3, 3))
+            for bn in ("bn1", "bn2"):
+                for k in ("weight", "bias", "running_mean", "running_var"):
+                    w[f"{p}{bn}_{k}"] = arr(f"{p}{bn}_{k}")
+    w["linear_weight"] = arr("linear_weight", (10, 64))
+    w["linear_bias"] = arr("linear_bias")
+    return w
+
+
+@dataclass
+class ResNetPlans:
+    depth: int
+    slots: int
+    stem: tuple                    # (plan, bias_vec, layout_out)
+    blocks: list                   # list of dicts per residual block
+    pool: object
+    fc: object
+    fc_bias: np.ndarray
+    relu_bound: float
+    sign: K.SignPlans
+    layouts: list
+
+
+def build_resnet_plans(weights: dict, depth: int, slots: int,
+                       h: int = 32, relu_bound: float = 40.0,
+                       sign: Optional[K.SignPlans] = None,
+                       giant=None) -> ResNetPlans:
+    n = (depth - 2) // 6
+    sign = sign or K.SignPlans.from_composite(
+        __import__("fhe_gpt2_tpu.approx.minimax", fromlist=["auto_schedule"])
+        .auto_schedule(target_err=2.0 ** -10, eps=2.0 ** -7))
+    lay = PlanarLayout(3, h, h, slots)
+    l16 = PlanarLayout(16, h, h, slots)
+
+    def conv_bn(wname, bnname, lin, lout, stride=1):
+        cw = weights[wname]
+        wf, bf = fold_bn(cw, np.zeros(cw.shape[0]),
+                         weights[f"{bnname}_weight"], weights[f"{bnname}_bias"],
+                         weights[f"{bnname}_running_mean"],
+                         weights[f"{bnname}_running_var"])
+        spec = conv2d_spec(wf, lin, lout, stride, name=wname)
+        return spec.bsgs_plan(giant), bias_vector(lout, bf)
+
+    stem_plan, stem_bias = conv_bn("conv1", "bn1", lay, l16)
+    blocks = []
+    widths = [16, 32, 64]
+    lin = l16
+    for s in range(1, 4):
+        cw = widths[s - 1]
+        for b in range(n):
+            stride = 2 if (s > 1 and b == 0) else 1
+            hh = lin.h // stride
+            lout = PlanarLayout(cw, hh, hh, slots)
+            p = f"layer{s}_{b}_"
+            plan1, bias1 = conv_bn(p + "conv1", p + "bn1", lin, lout, stride)
+            plan2, bias2 = conv_bn(p + "conv2", p + "bn2", lout, lout, 1)
+            short = None
+            if stride != 1 or lin.c != cw:
+                # Identity-with-zero-pad shortcut (CIFAR ResNet option A):
+                # subsample spatially, pad channels — a pure repack LT.
+                eye = np.zeros((cw, lin.c, 1, 1))
+                for c in range(min(lin.c, cw)):
+                    eye[c + (cw - lin.c) // 2, c, 0, 0] = 1.0
+                short = conv2d_spec(eye, lin, lout, stride,
+                                    name=p + "short").bsgs_plan(giant)
+            blocks.append(dict(plan1=plan1, bias1=bias1, plan2=plan2,
+                               bias2=bias2, short=short, lin=lin, lout=lout))
+            lin = lout
+    pool = avgpool_spec(lin, slots).bsgs_plan(giant)
+    fcw = weights["linear_weight"].T        # [64, 10]
+    fc = fc_spec(fcw, 64, slots).bsgs_plan(giant)
+    return ResNetPlans(depth=depth, slots=slots,
+                       stem=(stem_plan, stem_bias, l16), blocks=blocks,
+                       pool=pool, fc=fc, fc_bias=weights["linear_bias"],
+                       relu_bound=relu_bound, sign=sign,
+                       layouts=[lay, l16, lin])
+
+
+def _relu(B, xs, rp: ResNetPlans):
+    return [K.relu(B, x, rp.sign, bound=rp.relu_bound) for x in xs]
+
+
+def forward(B, xs, rp: ResNetPlans, boot_between: bool = True):
+    """Encrypted ResNet forward. xs: planar-packed ct list (usually 1 ct)."""
+    plan, bias, _ = rp.stem
+    xs = apply_lt(B, plan, xs)
+    xs = [B.add_plain(x, bias[i]) for i, x in enumerate(xs)]
+    xs = _relu(B, xs, rp)
+    for blk in rp.blocks:
+        if boot_between:
+            xs = [B.maybe_bootstrap(x, 8) for x in xs]
+        h = apply_lt(B, blk["plan1"], xs)
+        h = [B.add_plain(v, blk["bias1"][i]) for i, v in enumerate(h)]
+        h = _relu(B, h, rp)
+        if boot_between:
+            h = [B.maybe_bootstrap(v, 6) for v in h]
+        h = apply_lt(B, blk["plan2"], h)
+        h = [B.add_plain(v, blk["bias2"][i]) for i, v in enumerate(h)]
+        res = xs if blk["short"] is None else apply_lt(B, blk["short"], xs)
+        h = [B.add(a, b) for a, b in zip(h, res)]
+        xs = _relu(B, h, rp)
+    xs = apply_lt(B, rp.pool, xs)
+    xs = apply_lt(B, rp.fc, xs)
+    out = B.add_plain(xs[0], _fc_bias_vec(rp))
+    return [out]
+
+
+def _fc_bias_vec(rp: ResNetPlans) -> np.ndarray:
+    v = np.zeros(rp.slots)
+    v[: len(rp.fc_bias)] = rp.fc_bias
+    return v
+
+
+def logits_from_slots(rp: ResNetPlans, slots_vec: np.ndarray) -> np.ndarray:
+    return np.asarray(slots_vec).ravel()[:10]
+
+
+# Float oracle (host) -------------------------------------------------------
+
+def _conv2d_np(x: np.ndarray, w: np.ndarray, stride: int = 1) -> np.ndarray:
+    """SAME-padded conv oracle. x: [ci, h, w]; w: [co, ci, kh, kw]."""
+    co, ci, kh, kw = w.shape
+    h, wd = x.shape[1:]
+    oh, ow = h // stride, wd // stride
+    xp = np.pad(x, ((0, 0), (kh // 2, kh // 2), (kw // 2, kw // 2)))
+    out = np.zeros((co, oh, ow))
+    for dy in range(kh):
+        for dx in range(kw):
+            patch = xp[:, dy:dy + h:stride, dx:dx + wd:stride]
+            out += np.einsum("oi,iyx->oyx", w[:, :, dy, dx], patch)
+    return out
+
+
+def forward_float(weights: dict, depth: int, img: np.ndarray) -> np.ndarray:
+    """Numpy reference forward (exact ReLU) — the correctness oracle."""
+    n = (depth - 2) // 6
+
+    def bn(x, p):
+        g, b = weights[p + "_weight"], weights[p + "_bias"]
+        m, v = weights[p + "_running_mean"], weights[p + "_running_var"]
+        s = g / np.sqrt(v + 1e-5)
+        return x * s[:, None, None] + (b - m * s)[:, None, None]
+
+    x = np.maximum(bn(_conv2d_np(img, weights["conv1"]), "bn1"), 0)
+    widths = [16, 32, 64]
+    for s in range(1, 4):
+        cw = widths[s - 1]
+        for b in range(n):
+            stride = 2 if (s > 1 and b == 0) else 1
+            p = f"layer{s}_{b}_"
+            h = np.maximum(bn(_conv2d_np(x, weights[p + "conv1"], stride),
+                              p + "bn1"), 0)
+            h = bn(_conv2d_np(h, weights[p + "conv2"]), p + "bn2")
+            if stride != 1 or x.shape[0] != cw:
+                res = x[:, ::stride, ::stride]
+                pad = cw - res.shape[0]
+                res = np.pad(res, ((pad // 2, pad - pad // 2), (0, 0), (0, 0)))
+            else:
+                res = x
+            x = np.maximum(h + res, 0)
+    pooled = x.mean((1, 2))
+    return pooled @ weights["linear_weight"].T + weights["linear_bias"]

@@ -99,6 +99,18 @@ def coeffs_to_rns(coeffs: np.ndarray, ctx, limbs) -> np.ndarray:
 
 
 def encode(values, scale: float, ctx, limbs) -> np.ndarray:
+    from ..runtime import native
+    if native.available():
+        slots = ctx.n // 2
+        values = np.asarray(values, dtype=np.complex128).ravel()
+        if len(values) < slots:
+            assert slots % len(values) == 0
+            values = np.tile(values, slots // len(values))
+        evals = np.zeros(ctx.n, dtype=np.complex128)
+        evals[ctx.slot_to_index] = values * scale
+        evals[ctx.conj_slot_to_index] = np.conj(values) * scale
+        return native.encode_evals_to_rns(
+            evals, [ctx.all_moduli[i] for i in limbs])
     return coeffs_to_rns(encode_to_coeffs(values, scale, ctx), ctx, limbs)
 
 
@@ -130,8 +142,21 @@ def rns_to_centered_ints(res: np.ndarray, ctx, limbs) -> np.ndarray:
 
 def decode(res: np.ndarray, scale: float, ctx, limbs, num_slots=None) -> np.ndarray:
     """uint64 RNS coefficients -> complex slot values."""
-    centered = rns_to_centered_ints(res, ctx, limbs)
-    coeffs = centered.astype(np.float64) / scale
+    from ..runtime import native
+    if native.available():
+        need_bits = 240
+        use, prod = [], 1
+        for row, li in enumerate(limbs):
+            use.append((row, li))
+            prod *= ctx.all_moduli[li]
+            if prod.bit_length() > need_bits:
+                break
+        rows = [r for r, _ in use]
+        mods = [ctx.all_moduli[li] for _, li in use]
+        coeffs = native.crt_compose(res[rows], mods, scale)
+    else:
+        centered = rns_to_centered_ints(res, ctx, limbs)
+        coeffs = centered.astype(np.float64) / scale
     evals = eval_transform(coeffs)
     z = evals[ctx.slot_to_index]
     if num_slots is not None and num_slots < len(z):

@@ -152,23 +152,27 @@ class CkksBackend:
     def neg(self, a):
         return self.ev.negate(a)
 
+    def _next_prime(self, a) -> float:
+        return float(self.ctx.moduli[a.level - 1])
+
     def mul(self, a, b):
         out = self.ev.multiply_reduced_error(a, b)
-        return self.ev.rescale_to_scale(out, self._target_scale(out))
+        return self.ev.rescale_to_scale(out, max(a.scale, b.scale))
 
     def square(self, a):
         out = self.ev.square(a)
-        return self.ev.rescale_to_scale(out, self._target_scale(out))
-
-    def _target_scale(self, prod: Ciphertext) -> float:
-        # After one rescale the scale is prod.scale / q_last; relabel to the
-        # context scale (reduced-error convention).
-        return self.ctx.params.scale
+        return self.ev.rescale_to_scale(out, a.scale)
 
     def mul_plain(self, a, v):
-        p = self._plain(v, a.level, self.ctx.params.scale)
+        # Scale-targeted encoding (the reference's encode-at-matching-scale
+        # reduced-error ops, evaluator.h:1269): choose the plaintext scale so
+        # the rescaled product lands exactly at the context scale — works in
+        # both the Δ regime and the bootstrap q0 regime.
+        delta = self.ctx.params.scale
+        cs = delta * self._next_prime(a) / a.scale
+        p = self._plain(v, a.level, cs)
         out = self.ev.mul_plain(a, p)
-        return self.ev.rescale_to_scale(out, self.ctx.params.scale)
+        return self.ev.rescale_to_scale(out, delta)
 
     def add_plain(self, a, v):
         p = self._plain(v, a.level, a.scale)
@@ -182,8 +186,10 @@ class CkksBackend:
         if c == int(c) and abs(c) < 2 ** 40:
             # Exact integer multiply: free (no level, no scale change).
             return self.ev.mul_const_int(a, int(c))
-        out = self.ev.mul_const(a, c)
-        return self.ev.rescale_to_scale(out, self.ctx.params.scale)
+        delta = self.ctx.params.scale
+        cs = delta * self._next_prime(a) / a.scale
+        out = self.ev.mul_const(a, c, const_scale=cs)
+        return self.ev.rescale_to_scale(out, delta)
 
     def rotate(self, a, steps: int):
         return self.ev.rotate(a, steps)

@@ -1,0 +1,69 @@
+"""Full CKKS bootstrap test (small ring): level recovery + precision.
+
+The numeric harness mirrors the reference's run_bootstrapping.cpp:145-222:
+encode a random vector at sparse slots, exhaust the modulus chain, bootstrap,
+and report mean absolute error.
+"""
+
+import numpy as np
+import pytest
+
+from fhe_gpt2_tpu.boot.bootstrap import Bootstrapper, make_evalmod, eval_mod
+from fhe_gpt2_tpu.core.context import CkksContext, CkksParams
+from fhe_gpt2_tpu.core.evaluator import Decryptor, Encryptor, Evaluator
+from fhe_gpt2_tpu.core.keys import KeyGenerator
+from fhe_gpt2_tpu.nn.backend import CkksBackend, PlainBackend
+
+LOGN = 10
+LEVELS = 22
+NS = 64
+
+
+def test_evalmod_plain():
+    """EvalMod pipeline on the plain backend: x -> centered frac(x)."""
+    em = make_evalmod(K=12, eps=2 ** -8, degree=30, arcsin_degree=3,
+                      prec_dps=60)
+    B = PlainBackend(256)
+    rng = np.random.default_rng(0)
+    I = rng.integers(-10, 11, 256).astype(np.float64)
+    f = rng.uniform(-2.0 ** -9, 2.0 ** -9, 256)
+    x = I + f
+    got = eval_mod(B, x, em)
+    err = np.abs(got - f)
+    assert err.max() < 5e-6, err.max()
+
+
+@pytest.mark.slow
+def test_full_bootstrap():
+    # q0/Δ = 2^5 like the reference regime (logq0 51 / logp 46): the
+    # EvalMod output amplitude (and its error amplification) is q0/Δ.
+    params = CkksParams.create(
+        logn=LOGN, log_q0=45, log_scale=40, num_levels=LEVELS,
+        log_special=51, hamming_weight=16, sparse_slots=NS)
+    ctx = CkksContext(params)
+    kg = KeyGenerator(ctx, seed=3)
+    enc = Encryptor(ctx, secret=kg.secret, seed=4)
+    dec = Decryptor(ctx, kg.secret)
+    ev = Evaluator(ctx, relin_key=kg.relin_key())
+    B = CkksBackend(ctx=ctx, ev=ev, enc=enc, dec=dec, default_level=LEVELS)
+    em = make_evalmod(K=12, eps=2 ** -5, degree=45, arcsin_degree=3,
+                      prec_dps=60)
+    boot = Bootstrapper(B, num_slots=NS, evalmod=em)
+    ev.galois_keys = kg.galois_keys(steps=boot.required_steps(),
+                                    conjugate=True)
+
+    rng = np.random.default_rng(5)
+    z = rng.uniform(-1, 1, NS)
+    ct = enc.encrypt(ev.make_plain(z, params.scale, 1))   # exhausted chain
+    assert ct.level == 1
+
+    out = boot.bootstrap(ct)
+    assert out.level >= 4, f"levels remaining after bootstrap: {out.level}"
+    back = np.real(dec.decrypt(out, num_slots=NS))
+    err = np.abs(back - z)
+    print(f"bootstrap: out level {out.level}, scale {out.scale:.3e}, "
+          f"mean err {err.mean():.2e}, max err {err.max():.2e}")
+    # Reference-grade target: mean abs error ~1e-2 or better at these params
+    # (run_bootstrapping.cpp error metric).
+    assert err.mean() < 1e-2
+    assert err.max() < 5e-2

@@ -1,0 +1,66 @@
+"""Secure-inference network layer: serialization + gRPC loopback."""
+
+import numpy as np
+import pytest
+
+from fhe_gpt2_tpu.core.context import CkksContext, CkksParams
+from fhe_gpt2_tpu.core.evaluator import Decryptor, Encryptor, Evaluator
+from fhe_gpt2_tpu.core.keys import KeyGenerator
+from fhe_gpt2_tpu.net import serialize as S
+
+
+@pytest.fixture(scope="module")
+def setup():
+    params = CkksParams.create(
+        logn=9, log_q0=50, log_scale=40, num_levels=3,
+        log_special=51, hamming_weight=16)
+    ctx = CkksContext(params)
+    kg = KeyGenerator(ctx, seed=2)
+    ev = Evaluator(ctx, relin_key=kg.relin_key(),
+                   galois_keys=kg.galois_keys(steps=[1]))
+    enc = Encryptor(ctx, secret=kg.secret, seed=3)
+    dec = Decryptor(ctx, kg.secret)
+    return params, ctx, kg, ev, enc, dec
+
+
+def test_serialize_roundtrips(setup):
+    params, ctx, kg, ev, enc, dec = setup
+    rng = np.random.default_rng(0)
+    z = rng.uniform(-1, 1, ctx.params.slots)
+    ct = enc.encrypt(ev.make_plain(z, params.scale, 3))
+    ct2 = S.load_ciphertext(S.dump_ciphertext(ct))
+    assert ct2.scale == ct.scale
+    assert np.allclose(dec.decrypt(ct2), z, atol=1e-6)
+    p2 = S.load_params(S.dump_params(params))
+    assert p2 == params
+    rk2 = S.load_kswitch_key(S.dump_kswitch_key(ev.relin_key))
+    assert (np.asarray(rk2.data) == np.asarray(ev.relin_key.data)).all()
+    gk2 = S.load_galois_keys(S.dump_galois_keys(ev.galois_keys))
+    assert set(gk2.keys) == set(ev.galois_keys.keys)
+
+
+def test_grpc_loopback(setup):
+    grpc = pytest.importorskip("grpc")
+    from fhe_gpt2_tpu.net.service import (
+        SecureInferenceClient, SecureInferenceServer,
+    )
+    params, ctx, kg, ev, enc, dec = setup
+
+    def model(B, ct):
+        # Encrypted x² + rotate(x, 1) on the server side.
+        return B.add(B.square(ct), B.rotate(ct, 1))
+
+    server = SecureInferenceServer(model_fn=model, port=0).start()
+    try:
+        client = SecureInferenceClient(f"localhost:{server.port}")
+        client.init_session(params, relin_key=ev.relin_key,
+                            galois_keys=ev.galois_keys)
+        rng = np.random.default_rng(1)
+        z = rng.uniform(-1, 1, ctx.params.slots)
+        ct = enc.encrypt(ev.make_plain(z, params.scale, 3))
+        out = client.evaluate(ct)
+        got = dec.decrypt(out)
+        want = z * z + np.roll(z, -1)
+        assert np.allclose(got, want, atol=1e-4)
+    finally:
+        server.stop()
