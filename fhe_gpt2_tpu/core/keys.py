@@ -17,11 +17,34 @@ from __future__ import annotations
 from dataclasses import dataclass, field
 
 import numpy as np
+import jax
 import jax.numpy as jnp
 
 from . import ntt as nttmod
 from .context import CkksContext
 from .modmath import add_mod, sub_mod, neg_mod, mul_mod, mul_mod_shoup, shoup
+
+
+@jax.jit
+def _rlwe_batch_core(a, e, s_ntt, t):
+    """b = -(a·s) + NTT(e) for batched a/e: a [..., L, N] uniform NTT-domain
+    samples, e [..., L, N] coefficient-domain noise."""
+    e_ntt = nttmod._ntt(e, t)
+    b = add_mod(
+        neg_mod(mul_mod(a, s_ntt, t.q, t.ratio0, t.ratio1), t.q),
+        e_ntt, t.q)
+    return b
+
+
+@jax.jit
+def _ksk_assemble_core(b, a, s_src_ntt, p_factor, p_shoup, t):
+    """Add P·s_src into limb i of digit i's b component (batched over the
+    digit axis): b,a [D, L+k, N]; p_factor/p_shoup [L+k, 1] (P mod q_j)."""
+    D = b.shape[0]
+    term = mul_mod_shoup(s_src_ntt, p_factor, p_shoup, t.q)   # [L+k, N]
+    eye = jnp.eye(D, b.shape[1], dtype=bool)[..., None]       # [D, L+k, 1]
+    b = jnp.where(eye, add_mod(b, term[None], t.q), b)
+    return jnp.stack([b, a], axis=1)                          # [D, 2, L+k, N]
 
 
 # ---------------------------------------------------------------------------
@@ -127,24 +150,30 @@ class KeyGenerator:
         return PublicKey(data=self._rlwe_pair(self.secret.ntt))
 
     def _kswitch_key(self, s_src_ntt: jnp.ndarray) -> KSwitchKey:
-        """Key-switching key from s_src to the secret s (digit per q limb)."""
+        """Key-switching key from s_src to the secret s (digit per q limb).
+
+        All digits are generated in one batched jitted call (the reference's
+        generate_one_kswitch_key loop, fused)."""
         ctx = self.ctx
         t = self._tables_all
         L = ctx.L
         P = 1
         for p in ctx.special:
             P *= p
-        digits = []
-        for i in range(L):
-            pair = self._rlwe_pair(self.secret.ntt)   # [2, L+k, N]
-            # Add P·s_src into limb i of the b component.
-            factor = jnp.uint64(P % ctx.moduli[i])
-            fsh = jnp.uint64(shoup(P % ctx.moduli[i], ctx.moduli[i]))
-            qi = jnp.uint64(ctx.moduli[i])
-            term = mul_mod_shoup(s_src_ntt[i], factor, fsh, qi)
-            pair = pair.at[0, i].set(add_mod(pair[0, i], term, qi))
-            digits.append(pair)
-        return KSwitchKey(data=jnp.stack(digits))
+        n_mod = len(ctx.all_moduli)
+        a = np.stack([sample_uniform_rns(self.rng, ctx.n, ctx.all_moduli)
+                      for _ in range(L)])
+        e = np.stack([
+            _to_rns(sample_gaussian(self.rng, ctx.n, ctx.params.error_std),
+                    ctx.all_moduli) for _ in range(L)])
+        b = _rlwe_batch_core(jnp.asarray(a), jnp.asarray(e), self.secret.ntt, t)
+        p_factor = np.array([P % q for q in ctx.all_moduli],
+                            dtype=np.uint64).reshape(-1, 1)
+        p_sh = np.array([shoup(P % q, q) for q in ctx.all_moduli],
+                        dtype=np.uint64).reshape(-1, 1)
+        data = _ksk_assemble_core(b, jnp.asarray(a), s_src_ntt,
+                                  jnp.asarray(p_factor), jnp.asarray(p_sh), t)
+        return KSwitchKey(data=data)
 
     def relin_key(self) -> KSwitchKey:
         t = self._tables_all

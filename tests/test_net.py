@@ -64,3 +64,28 @@ def test_grpc_loopback(setup):
         assert np.allclose(got, want, atol=1e-4)
     finally:
         server.stop()
+
+
+def test_pir_embedding_lookup(setup):
+    """Private embedding lookup: encrypted one-hot -> embedding row."""
+    from fhe_gpt2_tpu.net.pir import EmbeddingPIRServer, make_query
+    from fhe_gpt2_tpu.nn.backend import CkksBackend, PlainBackend
+    params, ctx, kg, ev, enc, dec = setup
+    rng = np.random.default_rng(7)
+    V, d = 600, 32                       # vocab spans 3 cts at 256 slots
+    table = rng.standard_normal((V, d))
+    slots = ctx.params.slots
+    srv = EmbeddingPIRServer(table, slots)
+    # Plain check first.
+    Bp = PlainBackend(slots)
+    q = make_query(123, V, slots)
+    out_p = srv.answer(Bp, list(q))
+    assert np.allclose(out_p[:d], table[123], atol=1e-10)
+    # Encrypted.
+    ev2 = Evaluator(ctx, relin_key=ev.relin_key,
+                    galois_keys=kg.galois_keys(steps=srv.required_steps()))
+    B = CkksBackend(ctx=ctx, ev=ev2, enc=enc, dec=dec, default_level=3)
+    cts = [B.from_slots(row) for row in q]
+    out = srv.answer(B, cts)
+    got = B.to_slots(out)[:d]
+    assert np.allclose(got, table[123], atol=1e-3)
