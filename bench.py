@@ -18,7 +18,7 @@ import os
 import sys
 import time
 
-os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_cache")
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_cache_tpu")
 os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "0")
 
 import numpy as np
@@ -26,8 +26,8 @@ import numpy as np
 
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument("--logn", type=int, default=15)
-    ap.add_argument("--levels", type=int, default=20)
+    ap.add_argument("--logn", type=int, default=14)
+    ap.add_argument("--levels", type=int, default=16)
     ap.add_argument("--iters", type=int, default=10)
     ap.add_argument("--metric", default="ct_mult_relin")
     args = ap.parse_args()

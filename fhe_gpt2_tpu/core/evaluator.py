@@ -139,6 +139,32 @@ def _drop_last_core(x, t_rem, t_last, dlt: DropLastTables):
 
 
 @jax.jit
+def _decompose_core(c, kt, lt):
+    """Digit decomposition of c[..., l, N]: iNTT, per-target reduction, NTT.
+    Returns tpoly [..., l, l+k, N] — the expensive half of a key switch,
+    shared across hoisted rotations."""
+    l = c.shape[-2]
+    nk = kt.q.shape[0]
+    c_coeff = nttmod._intt(c, lt)
+    r = barrett_reduce(c_coeff[..., :, None, :], kt.q, kt.ratio1)
+    tpoly = nttmod._ntt(r, kt)
+    eye = jnp.eye(l, nk, dtype=bool)[..., None]
+    return jnp.where(eye, c[..., :, None, :], tpoly)
+
+
+@jax.jit
+def _ks_mac_core(tpoly, kdata, kt, lt, lt_sp, dlt: DropLastTables):
+    """MAC + mod-down half of a key switch, given decomposed digits."""
+    l = tpoly.shape[-3]
+    nk = tpoly.shape[-2]
+    batch_ndim = tpoly.ndim - 3
+    kdata = kdata.reshape(2, *(1,) * batch_ndim, l, nk, kdata.shape[-1])
+    prod = mul_mod(tpoly[None], kdata, kt.q, kt.ratio0, kt.ratio1)
+    acc = mod_sum(prod, kt.q, kt.ratio1, axis=-3)
+    return _drop_last_core(acc, lt, lt_sp, dlt)
+
+
+@jax.jit
 def _switch_key_core(c, kdata, kt, lt, lt_sp, dlt: DropLastTables):
     """Hybrid key-switch MAC (digit per limb, special prime) on c[..., l, N].
 
@@ -346,6 +372,43 @@ class Evaluator:
         if steps == 0:
             return a
         return self.apply_galois(a, self.ctx.galois_elt_from_step(steps))
+
+    def rotate_hoisted(self, a: Ciphertext, steps: list[int]) -> list[Ciphertext]:
+        """Many rotations of one ciphertext sharing a single digit
+        decomposition (the hoisting optimization the reference implements in
+        bsgs_linear_transform_hoisting, Bootstrapper.cpp:2091 — here it is
+        the default multi-rotation path, per SURVEY §7 design deltas).
+
+        The Galois automorphism commutes with per-coefficient digit
+        decomposition, so the decomposed digits are permuted per step and
+        only the MAC + mod-down run per rotation.
+        """
+        ctx = self.ctx
+        l = a.level
+        key_limbs = ctx.key_limbs(l)
+        kt = ctx.tables(key_limbs)
+        lt = ctx.tables(l)
+        lt_sp = ctx.tables((ctx.L,))
+        dlt = ctx.mod_down_tables(l)
+        tpoly = _decompose_core(a.data[1], kt, lt)
+        out = []
+        for s in steps:
+            s = s % (ctx.n // 2)
+            if s == 0:
+                out.append(a)
+                continue
+            elt = ctx.galois_elt_from_step(s)
+            perm = ctx.galois_perm(elt)
+            ksk = self.galois_keys[elt]
+            kdata = jnp.moveaxis(
+                jnp.take(ksk.data[:l], jnp.asarray(key_limbs), axis=2), 1, 0)
+            tp = jnp.take(tpoly, perm, axis=-1)
+            ks = _ks_mac_core(tp, kdata, kt, lt, lt_sp, dlt)
+            c0p = jnp.take(a.data[0], perm, axis=-1)
+            t = self._t(l)
+            out.append(Ciphertext(
+                jnp.stack([add_mod(c0p, ks[0], t.q), ks[1]]), a.scale))
+        return out
 
     def conjugate(self, a: Ciphertext) -> Ciphertext:
         return self.apply_galois(a, self.ctx.galois_elt_conjugate)

@@ -67,6 +67,9 @@ class PlainBackend:
     def rotate(self, a, steps: int):
         return np.roll(a, -steps, axis=-1)
 
+    def rotate_many(self, a, steps):
+        return [self.rotate(a, s) for s in steps]
+
     def conjugate(self, a):
         return np.conj(a) if np.iscomplexobj(a) else a
 
@@ -193,6 +196,10 @@ class CkksBackend:
 
     def rotate(self, a, steps: int):
         return self.ev.rotate(a, steps)
+
+    def rotate_many(self, a, steps):
+        """Hoisted multi-rotation (one digit decomposition)."""
+        return self.ev.rotate_hoisted(a, list(steps))
 
     def conjugate(self, a):
         return self.ev.conjugate(a)

@@ -138,8 +138,20 @@ def apply_lt(B, plan: BsgsPlan, xs, level_cost_note: str = ""):
     rotations across destination accumulators.
     """
     spec = plan.spec
-    # Baby-rotated inputs, cached per (src, i).
+    # Baby-rotated inputs: hoisted per source (one digit decomposition per
+    # src covers every baby amount) when the backend supports it.
     baby_cache: dict = {}
+    needed: dict = {}
+    for per_dst in plan.groups.values():
+        for terms in per_dst.values():
+            for (i, src, _) in terms:
+                needed.setdefault(src, set()).add(i)
+    if hasattr(B, "rotate_many"):
+        for src, amounts in needed.items():
+            amounts = sorted(amounts)
+            outs = B.rotate_many(xs[src], amounts)
+            for i, v in zip(amounts, outs):
+                baby_cache[(src, i)] = v
 
     def baby(src, i):
         k = (src, i)

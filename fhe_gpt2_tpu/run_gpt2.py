@@ -1,0 +1,103 @@
+"""Encrypted GPT-2 inference driver.
+
+Counterpart of the reference's run/infer_gpt2.cpp (`./bench`): builds the
+model plans from a GPT-2 checkpoint (HuggingFace if cached locally, else a
+randomly initialized model of the requested size), embeds tokens, runs
+transformer blocks, reports hidden-state fidelity vs the torch oracle.
+
+    python -m fhe_gpt2_tpu.run_gpt2 --layers 2 --plain
+    python -m fhe_gpt2_tpu.run_gpt2 --layers 1 --logn 12  (encrypted, small)
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import time
+
+import numpy as np
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--layers", type=int, default=2)
+    ap.add_argument("--seq", type=int, default=16)
+    ap.add_argument("--hidden", type=int, default=32)
+    ap.add_argument("--heads", type=int, default=4)
+    ap.add_argument("--plain", action="store_true")
+    ap.add_argument("--logn", type=int, default=12)
+    ap.add_argument("--slots", type=int, default=1024)
+    a = ap.parse_args()
+
+    import torch
+    from transformers import GPT2Config, GPT2LMHeadModel
+    from .nn import layers as L
+    from .nn import model as M
+    from .nn.backend import PlainBackend
+
+    torch.manual_seed(0)
+    cfg = GPT2Config(vocab_size=997, n_positions=max(a.seq, 16),
+                     n_embd=a.hidden, n_layer=a.layers, n_head=a.heads)
+    net = GPT2LMHeadModel(cfg).double().eval()
+    weights = dict(net.state_dict())
+    slots = a.slots if a.plain else (1 << (a.logn - 1))
+    sh = L.GPT2Shapes(slots=slots, seq=a.seq, hidden=a.hidden, heads=a.heads)
+
+    rng = np.random.default_rng(0)
+    ids = rng.integers(0, cfg.vocab_size, a.seq)
+    plans = M.build_gpt2_plans(sh, weights, a.layers)
+    emb = M.embed(plans, ids)
+    inits = M.calibrate_newton_inits(sh, weights, a.layers, emb)
+    plans = M.build_gpt2_plans(
+        sh, weights, a.layers, newton_inits=inits,
+        attn_overrides=dict(exp_r=8, inv_iters=16, inv_prescale=2.0,
+                            smax_gamma=6.0))
+
+    with torch.no_grad():
+        want = net.transformer(
+            torch.tensor(ids[None])).last_hidden_state[0].numpy()
+
+    t0 = time.time()
+    if a.plain:
+        B = PlainBackend(slots)
+        out = M.forward(B, list(sh.act.pack(emb)), plans)
+        got = sh.act.unpack(np.stack(out))
+    else:
+        got = _run_encrypted(a, sh, plans, emb)
+    dt = time.time() - t0
+    err = float(np.abs(got - want).max())
+    agree = float((M.logits(plans, got).argmax(-1)
+                   == M.logits(plans, want).argmax(-1)).mean())
+    print(json.dumps({"layers": a.layers, "mode": "plain" if a.plain else "enc",
+                      "seconds": round(dt, 2), "max_err_vs_torch": err,
+                      "top1_agreement": agree}))
+
+
+def _run_encrypted(a, sh, plans, emb):
+    from .core.context import CkksContext, CkksParams
+    from .core.evaluator import Decryptor, Encryptor, Evaluator
+    from .core.keys import KeyGenerator
+    from .nn import model as M
+    from .nn.backend import CkksBackend, RecordingBackend
+
+    rec = RecordingBackend(sh.slots)
+    M.forward(rec, list(sh.act.pack(emb)), plans)
+    levels = 40
+    params = CkksParams.create(
+        logn=a.logn, log_q0=50, log_scale=40, num_levels=levels,
+        log_special=51, hamming_weight=64)
+    ctx = CkksContext(params)
+    assert ctx.params.slots == sh.slots
+    kg = KeyGenerator(ctx, seed=1)
+    ev = Evaluator(ctx, relin_key=kg.relin_key(),
+                   galois_keys=kg.galois_keys(steps=rec.key_steps()))
+    enc = Encryptor(ctx, secret=kg.secret, seed=2)
+    dec = Decryptor(ctx, kg.secret)
+    B = CkksBackend(ctx=ctx, ev=ev, enc=enc, dec=dec, default_level=levels)
+    xs = [B.from_slots(v) for v in sh.act.pack(emb)]
+    out = M.forward(B, xs, plans)
+    return sh.act.unpack(np.stack([B.to_slots(o) for o in out]))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,101 @@
+"""Encrypted ResNet CIFAR inference driver.
+
+Counterpart of the reference's run/run_cnn.cpp (`./cnn LAYERS DATASET START
+END`) + infer_seal.cpp driver: loads the reference's pretrained weights,
+encrypts images, runs the encrypted forward, reports logits/labels + timing.
+
+    python -m fhe_gpt2_tpu.run_resnet --depth 20 --images 1 [--plain]
+           [--logn 15] [--levels 20]
+
+--plain runs the slot-exact simulator (no crypto) — the fast path for
+algorithm validation, like the reference's plain_approx.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import time
+
+import numpy as np
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--depth", type=int, default=20,
+                    choices=[20, 32, 44, 56, 110])
+    ap.add_argument("--images", type=int, default=1)
+    ap.add_argument("--plain", action="store_true")
+    ap.add_argument("--logn", type=int, default=15)
+    ap.add_argument("--levels", type=int, default=20)
+    ap.add_argument("--seed", type=int, default=0)
+    a = ap.parse_args()
+
+    from .approx.minimax import auto_schedule
+    from .cnn import resnet as R
+    from .nn import kernels as K
+    from .nn.backend import PlainBackend, RecordingBackend
+
+    t0 = time.time()
+    weights = R.load_reference_weights(a.depth)
+    slots = (1 << (a.logn - 1)) if not a.plain else 16384
+    sign = K.SignPlans.from_composite(
+        auto_schedule(target_err=2.0 ** -12, eps=2.0 ** -9))
+    rp = R.build_resnet_plans(weights, a.depth, slots, sign=sign)
+    print(f"# plans built in {time.time()-t0:.1f}s "
+          f"({len(rp.blocks)} blocks, slots={slots})")
+
+    rng = np.random.default_rng(a.seed)
+    lay = rp.layouts[0]
+    results = []
+    for i in range(a.images):
+        # CIFAR test images are stripped from the reference snapshot
+        # (.MISSING_LARGE_BLOBS); random inputs exercise the full pipeline
+        # and are compared against the float oracle.
+        img = rng.uniform(-1, 1, (3, 32, 32))
+        want = R.forward_float(weights, a.depth, img)
+        t0 = time.time()
+        if a.plain:
+            B = PlainBackend(slots)
+            out = R.forward(B, list(lay.pack(img)), rp, boot_between=False)
+            got = R.logits_from_slots(rp, out[0])
+        else:
+            got = _run_encrypted(a, rp, lay, img)
+        dt = time.time() - t0
+        ok = bool(np.argmax(got) == np.argmax(want))
+        results.append(dict(image=i, seconds=round(dt, 2),
+                            label=int(np.argmax(got)),
+                            oracle_label=int(np.argmax(want)), match=ok))
+        print(json.dumps(results[-1]))
+    n_ok = sum(r["match"] for r in results)
+    print(json.dumps({"depth": a.depth, "images": a.images,
+                      "oracle_agreement": n_ok / len(results)}))
+
+
+def _run_encrypted(a, rp, lay, img):
+    import jax
+    from .cnn import resnet as R
+    from .core.context import CkksContext, CkksParams
+    from .core.evaluator import Decryptor, Encryptor, Evaluator
+    from .core.keys import KeyGenerator
+    from .nn.backend import CkksBackend, RecordingBackend
+
+    rec = RecordingBackend(rp.slots)
+    R.forward(rec, list(lay.pack(img)), rp, boot_between=False)
+    params = CkksParams.create(
+        logn=a.logn, log_q0=51, log_scale=46, num_levels=a.levels,
+        log_special=51, hamming_weight=192)
+    ctx = CkksContext(params)
+    kg = KeyGenerator(ctx, seed=1)
+    ev = Evaluator(ctx, relin_key=kg.relin_key(),
+                   galois_keys=kg.galois_keys(steps=rec.key_steps()))
+    enc = Encryptor(ctx, secret=kg.secret, seed=2)
+    dec = Decryptor(ctx, kg.secret)
+    B = CkksBackend(ctx=ctx, ev=ev, enc=enc, dec=dec, default_level=a.levels)
+    xs = [B.from_slots(v) for v in lay.pack(img)]
+    out = R.forward(B, xs, rp)
+    return R.logits_from_slots(rp, B.to_slots(out[0]))
+
+
+if __name__ == "__main__":
+    main()

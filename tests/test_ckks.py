@@ -168,3 +168,14 @@ def test_fake_bootstrap_roundtrip(setup):
     ct2 = fake_bootstrap(ct, dec, enc, ev, target_level=3)
     assert ct2.level == 3
     assert np.allclose(dec.decrypt(ct2), z, atol=1e-5)
+
+
+def test_rotate_hoisted_matches_rotate(setup):
+    ctx, ev, enc, dec = setup
+    rng = np.random.default_rng(10)
+    z = rand_vec(rng)
+    ct = enc.encrypt_symmetric(ev.make_plain(z, ctx.params.scale, 3))
+    outs = ev.rotate_hoisted(ct, [0, 1, 3, 5])
+    for r, o in zip([0, 1, 3, 5], outs):
+        got = dec.decrypt(o)
+        assert np.allclose(got, np.roll(z, -r), atol=1e-5), r
