@@ -68,30 +68,33 @@ def conv2d_spec(weights: np.ndarray, lin: PlanarLayout, lout: PlanarLayout,
     oy, ox = np.meshgrid(np.arange(lout.h), np.arange(lout.w), indexing="ij")
     oy, ox = oy.ravel(), ox.ravel()
     trips = {k: [] for k in ("dct", "dsl", "sct", "ssl", "w")}
-    for co in range(co_n):
-        for ci in range(ci_n):
-            for dy in range(kh):
-                for dx in range(kw):
-                    wv = weights[co, ci, dy, dx]
-                    if wv == 0.0:
-                        continue
-                    iy = stride * oy + dy - kh // 2
-                    ix = stride * ox + dx - kw // 2
-                    ok = (iy >= 0) & (iy < lin.h) & (ix >= 0) & (ix < lin.w)
-                    if not ok.any():
-                        continue
-                    dct, dsl = lout.place(co, oy[ok], ox[ok])
-                    sct, ssl = lin.place(ci, iy[ok], ix[ok])
-                    trips["dct"].append(np.broadcast_to(dct, dsl.shape))
-                    trips["dsl"].append(dsl)
-                    trips["sct"].append(np.broadcast_to(sct, ssl.shape))
-                    trips["ssl"].append(ssl)
-                    trips["w"].append(np.full(dsl.shape, wv))
+    co_g = np.arange(co_n)[:, None, None]          # [co, 1, 1]
+    ci_g = np.arange(ci_n)[None, :, None]          # [1, ci, 1]
+    for dy in range(kh):
+        for dx in range(kw):
+            iy = stride * oy + dy - kh // 2
+            ix = stride * ox + dx - kw // 2
+            ok = (iy >= 0) & (iy < lin.h) & (ix >= 0) & (ix < lin.w)
+            if not ok.any():
+                continue
+            oyk, oxk, iyk, ixk = oy[ok], ox[ok], iy[ok], ix[ok]
+            # Vectorized over (co, ci, positions).
+            shape = (co_n, ci_n, len(oyk))
+            dct, dsl = lout.place(co_g, oyk[None, None, :], oxk[None, None, :])
+            sct, ssl = lin.place(ci_g, iyk[None, None, :], ixk[None, None, :])
+            w = np.broadcast_to(weights[:, :, dy, dx, None], shape)
+            trips["dct"].append(np.broadcast_to(dct, shape).ravel())
+            trips["dsl"].append(np.broadcast_to(dsl, shape).ravel())
+            trips["sct"].append(np.broadcast_to(sct, shape).ravel())
+            trips["ssl"].append(np.broadcast_to(ssl, shape).ravel())
+            trips["w"].append(w.ravel())
+    w_all = np.concatenate(trips["w"])
+    nz = w_all != 0.0
     return lt_from_triples(
         lin.slots, lin.n_cts, lout.n_cts,
-        np.concatenate(trips["dct"]), np.concatenate(trips["dsl"]),
-        np.concatenate(trips["sct"]), np.concatenate(trips["ssl"]),
-        np.concatenate(trips["w"]), name)
+        np.concatenate(trips["dct"])[nz], np.concatenate(trips["dsl"])[nz],
+        np.concatenate(trips["sct"])[nz], np.concatenate(trips["ssl"])[nz],
+        w_all[nz], name)
 
 
 def avgpool_spec(lin: PlanarLayout, slots: int, name: str = "avgpool") -> LTSpec:

@@ -70,6 +70,13 @@ class PlainBackend:
     def rotate_many(self, a, steps):
         return [self.rotate(a, s) for s in steps]
 
+    def mul_plain_many_sum(self, values: list, masks: list):
+        """Σ_t values[t] ⊙ masks[t] (fused masked accumulation)."""
+        acc = values[0] * masks[0]
+        for v, m in zip(values[1:], masks[1:]):
+            acc = acc + v * m
+        return acc
+
     def conjugate(self, a):
         return np.conj(a) if np.iscomplexobj(a) else a
 
@@ -200,6 +207,28 @@ class CkksBackend:
     def rotate_many(self, a, steps):
         """Hoisted multi-rotation (one digit decomposition)."""
         return self.ev.rotate_hoisted(a, list(steps))
+
+    def mul_plain_many_sum(self, values: list, masks: list):
+        """Σ_t values[t] ⊙ masks[t] as one batched dyadic multiply + modular
+        reduction and a single rescale — the LT engine's inner MAC.
+
+        Summing before the rescale also improves precision (one rounding
+        instead of T)."""
+        import jax.numpy as jnp
+        from ..core.evaluator import Ciphertext, mod_sum
+        a0 = values[0]
+        lvl = min(v.level for v in values)
+        delta = self.ctx.params.scale
+        cs = delta * float(self.ctx.moduli[lvl - 1]) / a0.scale
+        stacked = jnp.stack([v.data[..., :lvl, :] for v in values], axis=1)
+        pts = jnp.stack(
+            [self._plain(m, lvl, cs).data for m in masks])     # [T, l, N]
+        t = self.ctx.tables(lvl)
+        from ..core.modmath import mul_mod
+        prod = mul_mod(stacked, pts, t.q, t.ratio0, t.ratio1)  # [2, T, l, N]
+        acc = mod_sum(prod, t.q, t.ratio1, axis=1)
+        out = Ciphertext(acc, a0.scale * cs)
+        return self.ev.rescale_to_scale(out, delta)
 
     def conjugate(self, a):
         return self.ev.conjugate(a)

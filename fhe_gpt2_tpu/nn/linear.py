@@ -159,13 +159,19 @@ def apply_lt(B, plan: BsgsPlan, xs, level_cost_note: str = ""):
             baby_cache[k] = xs[src] if i == 0 else B.rotate(xs[src], i)
         return baby_cache[k]
 
+    fused = hasattr(B, "mul_plain_many_sum")
     out = [None] * spec.n_dst
     for jg, per_dst in sorted(plan.groups.items()):
         for dst, terms in per_dst.items():
-            acc = None
-            for (i, src, premask) in terms:
-                t = B.mul_plain(baby(src, i), premask)
-                acc = t if acc is None else B.add(acc, t)
+            if fused:
+                acc = B.mul_plain_many_sum(
+                    [baby(src, i) for (i, src, _) in terms],
+                    [m for (_, _, m) in terms])
+            else:
+                acc = None
+                for (i, src, premask) in terms:
+                    t = B.mul_plain(baby(src, i), premask)
+                    acc = t if acc is None else B.add(acc, t)
             if jg:
                 acc = B.rotate(acc, jg)
             out[dst] = acc if out[dst] is None else B.add(out[dst], acc)
