@@ -60,19 +60,22 @@ def main():
         out = ev.multiply(c, c)          # mult + relinearize
         return out.data
 
-    step_j = jax.jit(step)
+    # Chain the iterations inside one jitted program: the multiply keeps
+    # level/shape, so the dependent chain measures pure device throughput
+    # without per-call tunnel dispatch latency.
+    def chain(data):
+        for _ in range(args.iters):
+            data = step(data)
+        return data
+
+    chain_j = jax.jit(chain)
     t0 = time.time()
-    out = jax.block_until_ready(step_j(ct.data))
+    out = jax.block_until_ready(chain_j(ct.data))
     compile_s = time.time() - t0
     print(f"# first call (compile) {compile_s:.1f}s", file=sys.stderr)
 
-    # Timed: sequential dependent mult+relin ops (no rescale: keep shapes
-    # fixed; relin dominates and matches the headline op definition).
     t0 = time.time()
-    d = ct.data
-    for _ in range(args.iters):
-        d = step_j(d)
-    jax.block_until_ready(d)
+    jax.block_until_ready(chain_j(ct.data))
     dt = time.time() - t0
     ops_per_s = args.iters / dt
 
