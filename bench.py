@@ -1,15 +1,23 @@
-"""Benchmark: ct-mult+relin throughput per chip at production-scale params.
+"""Benchmark: CKKS throughput on one TPU chip at production-scale params.
 
 Prints ONE JSON line:
   {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
 
-Baseline: the CPU reference publishes no ops/s figure (BASELINE.md); from its
-run log, a conv layer of ~12.3 s executes ≈ 9 weighted ct-ops ≈ 0.7–1.5
-ct-mult+relin-equivalents/s on a 50-thread Xeon at the same logN=16 regime.
-We use 8 ops/s as a generous single-node CPU estimate; vs_baseline is
-ours / 8.
+Metrics:
+  ct_mult_relin (default) — ciphertext multiply+relinearize ops/s. The CPU
+    reference publishes no ops/s figure (BASELINE.md); from its run log, a
+    conv layer of ~12.3 s executes ≈ 9 weighted ct-ops ≈ 0.7–1.5
+    ct-mult+relin-equivalents/s on a 50-thread Xeon at the same logN=16
+    regime. We use 8 ops/s as a generous single-node CPU estimate;
+    vs_baseline is ours / 8.
+  bootstrap — one full CKKS bootstrap (ModRaise→SubSum→CtS→EvalMod→StC),
+    whole pipeline in a single jitted program, with a decrypt-and-compare
+    correctness check. Baseline: the reference's measured 102.5 s per
+    bootstrap (result/resnet20_cifar10_image0.txt); vs_baseline is
+    102.5 / ours.
 
-Usage: python bench.py [--logn 15] [--levels 20] [--iters 20]
+Usage: python bench.py [--metric ct_mult_relin|bootstrap]
+                       [--logn 14] [--levels 16] [--nsp 3] [--iters 10]
 """
 
 import argparse
@@ -24,33 +32,32 @@ os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "0")
 import numpy as np
 
 
-def main():
-    ap = argparse.ArgumentParser()
-    ap.add_argument("--logn", type=int, default=14)
-    ap.add_argument("--levels", type=int, default=16)
-    ap.add_argument("--iters", type=int, default=10)
-    ap.add_argument("--metric", default="ct_mult_relin")
-    args = ap.parse_args()
-
-    import jax
+def _setup(args, hamming=192, sparse_slots=0):
     from fhe_gpt2_tpu.core.context import CkksContext, CkksParams
-    from fhe_gpt2_tpu.core.evaluator import (
-        Ciphertext, Decryptor, Encryptor, Evaluator,
-    )
+    from fhe_gpt2_tpu.core.evaluator import Decryptor, Encryptor, Evaluator
     from fhe_gpt2_tpu.core.keys import KeyGenerator
 
     t0 = time.time()
     params = CkksParams.create(
         logn=args.logn, log_q0=51, log_scale=46, num_levels=args.levels,
-        log_special=51, hamming_weight=192)
+        log_special=51, num_special=args.nsp, hamming_weight=hamming,
+        sparse_slots=sparse_slots)
     ctx = CkksContext(params)
     kg = KeyGenerator(ctx, seed=1)
     ev = Evaluator(ctx, relin_key=kg.relin_key())
     enc = Encryptor(ctx, secret=kg.secret, seed=2)
     dec = Decryptor(ctx, kg.secret)
-    print(f"# setup {time.time()-t0:.1f}s  logN={args.logn} L={args.levels}",
+    print(f"# setup {time.time()-t0:.1f}s  logN={args.logn} L={args.levels} "
+          f"alpha={args.nsp} digits={ctx.num_digits(args.levels)}",
           file=sys.stderr)
+    return params, ctx, kg, ev, enc, dec
 
+
+def bench_mult_relin(args):
+    import jax
+    from fhe_gpt2_tpu.core.evaluator import Ciphertext
+
+    params, ctx, kg, ev, enc, dec = _setup(args)
     rng = np.random.default_rng(0)
     z = rng.uniform(-1, 1, ctx.params.slots)
     ct = enc.encrypt(ev.make_plain(z, params.scale, args.levels))
@@ -80,12 +87,90 @@ def main():
     ops_per_s = args.iters / dt
 
     baseline_cpu = 8.0
-    print(json.dumps({
+    return {
         "metric": f"ct_mult_relin_ops_per_s_chip_logN{args.logn}_L{args.levels}",
         "value": round(ops_per_s, 3),
         "unit": "ops/s",
         "vs_baseline": round(ops_per_s / baseline_cpu, 2),
-    }))
+    }
+
+
+def bench_bootstrap(args):
+    import jax
+    from fhe_gpt2_tpu.boot.bootstrap import Bootstrapper, make_evalmod
+    from fhe_gpt2_tpu.core.evaluator import Ciphertext
+    from fhe_gpt2_tpu.nn.backend import CkksBackend
+
+    ns = args.sparse_slots or min(1 << 14, 1 << (args.logn - 2))
+    params, ctx, kg, ev, enc, dec = _setup(args, sparse_slots=ns)
+    B = CkksBackend(ctx=ctx, ev=ev, enc=enc, dec=dec,
+                    default_level=args.levels)
+    t0 = time.time()
+    em = make_evalmod(K=12, eps=2 ** -5, degree=45, arcsin_degree=3,
+                      prec_dps=60)
+    boot = Bootstrapper(B, num_slots=ns, cts_factors=args.factors,
+                        stc_factors=args.factors, evalmod=em)
+    steps = boot.required_steps()
+    print(f"# evalmod+plans {time.time()-t0:.1f}s  ns={ns} "
+          f"rot-keys={len(steps)}", file=sys.stderr)
+    t0 = time.time()
+    ev.galois_keys = kg.galois_keys(steps=steps, conjugate=True)
+    print(f"# galois keygen {time.time()-t0:.1f}s", file=sys.stderr)
+
+    rng = np.random.default_rng(3)
+    z = rng.uniform(-1, 1, ns)
+    ct = enc.encrypt(ev.make_plain(z, params.scale, 1))
+
+    def run(data):
+        return boot.bootstrap(Ciphertext(data, params.scale)).data
+
+    run_j = jax.jit(run)
+    t0 = time.time()
+    out = jax.block_until_ready(run_j(ct.data))
+    print(f"# first call (compile) {time.time()-t0:.1f}s", file=sys.stderr)
+
+    times = []
+    for _ in range(max(1, args.iters)):
+        t0 = time.time()
+        out = jax.block_until_ready(run_j(ct.data))
+        times.append(time.time() - t0)
+    dt = min(times)
+
+    back = np.real(dec.decrypt(Ciphertext(out, params.scale), num_slots=ns))
+    err = float(np.abs(back - z).mean())
+    lvl = out.shape[-2]
+    print(f"# mean abs err {err:.2e}  out level {lvl}", file=sys.stderr)
+    baseline_s = 102.5   # reference bootstrap wall time (BASELINE.md)
+    ok = err < 2e-2
+    return {
+        "metric": f"bootstrap_seconds_logN{args.logn}_L{args.levels}_ns{ns}"
+                  + ("" if ok else "_FAILED_ACCURACY"),
+        "value": round(dt, 3),
+        "unit": "s",
+        "vs_baseline": round(baseline_s / dt, 2),
+    }
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--logn", type=int, default=14)
+    ap.add_argument("--levels", type=int, default=16)
+    ap.add_argument("--iters", type=int, default=10)
+    ap.add_argument("--nsp", type=int, default=1,
+                    help="special primes = hybrid key-switch digit size")
+    ap.add_argument("--sparse-slots", type=int, default=0)
+    ap.add_argument("--factors", type=int, default=2,
+                    help="CtS/StC FFT factorization depth")
+    ap.add_argument("--metric", default="ct_mult_relin",
+                    choices=["ct_mult_relin", "bootstrap"])
+    args = ap.parse_args()
+    if args.metric == "bootstrap":
+        if args.levels < 20:
+            args.levels = max(args.levels, 22)
+        res = bench_bootstrap(args)
+    else:
+        res = bench_mult_relin(args)
+    print(json.dumps(res))
 
 
 if __name__ == "__main__":

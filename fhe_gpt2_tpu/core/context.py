@@ -125,6 +125,40 @@ class CkksContext:
             self.L + i for i in range(self.k_sp)
         )
 
+    # -- hybrid key-switch digit structure -----------------------------------
+    #
+    # The digit size alpha equals the number of special primes (the standard
+    # hybrid/dnum trade-off: P = prod(special) must dominate any digit product
+    # Q_j). alpha=1 reproduces SEAL-3.6's digit-per-limb scheme
+    # (evaluator.cpp:2281); alpha>1 cuts both key material and key-switch
+    # NTT count by ~alpha.
+
+    @property
+    def alpha(self) -> int:
+        return self.k_sp
+
+    def num_digits(self, level: int) -> int:
+        return -(-level // self.alpha)
+
+    def digit_groups(self, level: int) -> tuple[tuple[int, ...], ...]:
+        """Active data-limb index groups per key-switch digit at `level`."""
+        a = self.alpha
+        return tuple(
+            tuple(range(j * a, min((j + 1) * a, level)))
+            for j in range(self.num_digits(level))
+        )
+
+    def decomp_tables(self, level: int):
+        """Per-digit base-conversion tables: digit group -> full key basis."""
+        key = ("decomp", level)
+        if key not in self._mod_down:
+            dst = [self.all_moduli[i] for i in self.key_limbs(level)]
+            self._mod_down[key] = tuple(
+                rns.make_base_conv([self.moduli[i] for i in g], dst)
+                for g in self.digit_groups(level)
+            )
+        return self._mod_down[key]
+
     def drop_last_tables(self, level: int) -> rns.DropLastTables:
         """Rescale tables: divide by q_{level-1}, keep q_0..q_{level-2}."""
         if level not in self._drop_last:
@@ -133,18 +167,15 @@ class CkksContext:
             )
         return self._drop_last[level]
 
-    def mod_down_tables(self, level: int) -> rns.DropLastTables:
-        """Key-switch mod-down tables: divide by the special prime at `level`.
-
-        (Single special prime; multi-special generalization goes through
-        rns.base_convert.)
-        """
-        assert self.k_sp == 1, "multi-special mod-down not yet wired"
-        if level not in self._mod_down:
-            self._mod_down[level] = rns.make_drop_last(
-                self.moduli[:level], self.special[0]
+    def mod_down_tables(self, level: int, sp: int = 0) -> rns.DropLastTables:
+        """Key-switch mod-down tables: divide by special prime `sp`, keeping
+        q_0..q_{level-1} + specials 0..sp-1 (specials drop last-to-first)."""
+        key = (level, sp)
+        if key not in self._mod_down:
+            self._mod_down[key] = rns.make_drop_last(
+                self.moduli[:level] + self.special[:sp], self.special[sp]
             )
-        return self._mod_down[level]
+        return self._mod_down[key]
 
     def galois_perm(self, galois_elt: int) -> jnp.ndarray:
         """NTT-domain permutation for X -> X^g, cached on device."""

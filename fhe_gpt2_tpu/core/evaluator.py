@@ -33,7 +33,7 @@ from .modmath import (
     add_mod, sub_mod, neg_mod, mul_mod, mul_mod_shoup, barrett_reduce,
     barrett_ratio, shoup,
 )
-from .rns import DropLastTables
+from .rns import DropLastTables, base_convert
 
 
 # ---------------------------------------------------------------------------
@@ -139,52 +139,42 @@ def _drop_last_core(x, t_rem, t_last, dlt: DropLastTables):
 
 
 @jax.jit
-def _decompose_core(c, kt, lt):
-    """Digit decomposition of c[..., l, N]: iNTT, per-target reduction, NTT.
-    Returns tpoly [..., l, l+k, N] — the expensive half of a key switch,
-    shared across hoisted rotations."""
-    l = c.shape[-2]
-    nk = kt.q.shape[0]
+def _decompose_core(c, kt, lt, bcts, own_mask):
+    """Hybrid digit decomposition of c[..., l, N] (NTT form).
+
+    bcts: per-digit BaseConvTables (digit's active limb group -> full key
+    basis); own_mask: bool [D, l+k, 1] marking each digit's own data limbs.
+    Returns tpoly [..., D, l+k, N] — the expensive half of a key switch,
+    shared across hoisted rotations. On a digit's own limbs the conversion
+    is exact mod q_i (the +k·Q_j slack vanishes), so the original NTT form
+    is spliced in there and those limbs skip the iNTT→reduce→NTT round trip.
+    """
     c_coeff = nttmod._intt(c, lt)
-    r = barrett_reduce(c_coeff[..., :, None, :], kt.q, kt.ratio1)
+    start, digs = 0, []
+    for bct in bcts:
+        w = len(bct.src)
+        digs.append(base_convert(c_coeff[..., start:start + w, :], bct))
+        start += w
+    r = jnp.stack(digs, axis=-3)                  # [..., D, l+k, N]
     tpoly = nttmod._ntt(r, kt)
-    eye = jnp.eye(l, nk, dtype=bool)[..., None]
-    return jnp.where(eye, c[..., :, None, :], tpoly)
+    k_sp = tpoly.shape[-2] - c.shape[-2]
+    pad = jnp.zeros((*c.shape[:-2], k_sp, c.shape[-1]), c.dtype)
+    c_pad = jnp.concatenate([c, pad], axis=-2)    # [..., l+k, N]
+    return jnp.where(own_mask, c_pad[..., None, :, :], tpoly)
 
 
 @jax.jit
-def _ks_mac_core(tpoly, kdata, kt, lt, lt_sp, dlt: DropLastTables):
-    """MAC + mod-down half of a key switch, given decomposed digits."""
-    l = tpoly.shape[-3]
+def _ks_mac_core(tpoly, kdata, kt):
+    """MAC half of a key switch over the digit axis (no mod-down).
+
+    tpoly: [..., D, l+k, N]; kdata: [2, D, l+k, N]. Returns [2, ..., l+k, N].
+    """
+    D = tpoly.shape[-3]
     nk = tpoly.shape[-2]
     batch_ndim = tpoly.ndim - 3
-    kdata = kdata.reshape(2, *(1,) * batch_ndim, l, nk, kdata.shape[-1])
+    kdata = kdata.reshape(2, *(1,) * batch_ndim, D, nk, kdata.shape[-1])
     prod = mul_mod(tpoly[None], kdata, kt.q, kt.ratio0, kt.ratio1)
-    acc = mod_sum(prod, kt.q, kt.ratio1, axis=-3)
-    return _drop_last_core(acc, lt, lt_sp, dlt)
-
-
-@jax.jit
-def _switch_key_core(c, kdata, kt, lt, lt_sp, dlt: DropLastTables):
-    """Hybrid key-switch MAC (digit per limb, special prime) on c[..., l, N].
-
-    kdata: [2, l, l+k, N] key digits already sliced to the active limb set;
-    kt: tables over that limb set; lt: data-limb tables; lt_sp: special-prime
-    tables. Returns [2, ..., l, N] (mod-downed past the special prime).
-    """
-    l = c.shape[-2]
-    nk = kdata.shape[-2]
-    c_coeff = nttmod._intt(c, lt)                                   # [..., l, N]
-    r = barrett_reduce(c_coeff[..., :, None, :], kt.q, kt.ratio1)   # [..., l, nk, N]
-    tpoly = nttmod._ntt(r, kt)
-    # Exact diagonal: digit i at target limb i is the original NTT form.
-    eye = jnp.eye(l, nk, dtype=bool)[..., None]
-    tpoly = jnp.where(eye, c[..., :, None, :], tpoly)
-    batch_ndim = c.ndim - 2
-    kdata = kdata.reshape(2, *(1,) * batch_ndim, l, nk, kdata.shape[-1])
-    prod = mul_mod(tpoly[None], kdata, kt.q, kt.ratio0, kt.ratio1)
-    acc = mod_sum(prod, kt.q, kt.ratio1, axis=-3)                   # [2, ..., nk, N]
-    return _drop_last_core(acc, lt, lt_sp, dlt)
+    return mod_sum(prod, kt.q, kt.ratio1, axis=-3)
 
 
 class Evaluator:
@@ -338,23 +328,51 @@ class Evaluator:
 
     # -- key switching ------------------------------------------------------
 
+    def _ks_structs(self, level: int):
+        """(key tables, per-digit conv tables, own-limb mask, digit count)."""
+        ctx = self.ctx
+        key_limbs = ctx.key_limbs(level)
+        groups = ctx.digit_groups(level)
+        D = len(groups)
+        own = np.zeros((D, len(key_limbs), 1), dtype=bool)
+        for j, g in enumerate(groups):
+            own[j, list(g)] = True
+        return (ctx.tables(key_limbs), ctx.decomp_tables(level),
+                jnp.asarray(own), D)
+
+    def _slice_key(self, ksk: KSwitchKey, level: int, D: int) -> jnp.ndarray:
+        """Active digits/limbs of a key: [2, D, l+k, N]."""
+        key_limbs = self.ctx.key_limbs(level)
+        return jnp.moveaxis(
+            jnp.take(ksk.data[:D], jnp.asarray(key_limbs), axis=2), 1, 0)
+
+    def _mod_down_special(self, x: jnp.ndarray, level: int) -> jnp.ndarray:
+        """Exact divide-and-round of NTT-form x[..., l+k, N] by P = prod of
+        special primes, dropping them last-to-first."""
+        ctx = self.ctx
+        for j in range(ctx.k_sp - 1, -1, -1):
+            rem = tuple(range(level)) + tuple(ctx.L + i for i in range(j))
+            x = _drop_last_core(
+                x, ctx.tables(rem), ctx.tables((ctx.L + j,)),
+                ctx.mod_down_tables(level, j))
+        return x
+
     def _switch_key(self, c: jnp.ndarray, level: int,
                     ksk: KSwitchKey) -> jnp.ndarray:
         """Switch an NTT-form poly c[..., l, N] to the secret key basis.
 
-        Returns [2, ..., l, N] (already mod-downed past the special prime).
+        Returns [2, ..., l, N] (already mod-downed past the special primes).
         Batched over any leading dims of c; the digit loop is one fused
         batched NTT + multiply-accumulate (the reference's scalar loop at
-        evaluator.cpp:2281, reshaped for the MXU/VPU).
+        evaluator.cpp:2281, reshaped for the MXU/VPU), with digits of
+        alpha = k_sp limbs (hybrid dnum scheme; alpha=1 matches SEAL-3.6).
         """
         ctx = self.ctx
         l = level
-        key_limbs = ctx.key_limbs(l)
-        kdata = jnp.moveaxis(
-            jnp.take(ksk.data[:l], jnp.asarray(key_limbs), axis=2), 1, 0)
-        return _switch_key_core(
-            c, kdata, ctx.tables(key_limbs), ctx.tables(l),
-            ctx.tables((ctx.L,)), ctx.mod_down_tables(l))
+        kt, bcts, own, D = self._ks_structs(l)
+        tpoly = _decompose_core(c, kt, ctx.tables(l), bcts, own)
+        acc = _ks_mac_core(tpoly, self._slice_key(ksk, l, D), kt)
+        return self._mod_down_special(acc, l)
 
     def apply_galois(self, a: Ciphertext, galois_elt: int) -> Ciphertext:
         """Galois automorphism + key switch (rotate/conjugate core)."""
@@ -385,12 +403,8 @@ class Evaluator:
         """
         ctx = self.ctx
         l = a.level
-        key_limbs = ctx.key_limbs(l)
-        kt = ctx.tables(key_limbs)
-        lt = ctx.tables(l)
-        lt_sp = ctx.tables((ctx.L,))
-        dlt = ctx.mod_down_tables(l)
-        tpoly = _decompose_core(a.data[1], kt, lt)
+        kt, bcts, own, D = self._ks_structs(l)
+        tpoly = _decompose_core(a.data[1], kt, ctx.tables(l), bcts, own)
         out = []
         for s in steps:
             s = s % (ctx.n // 2)
@@ -399,11 +413,9 @@ class Evaluator:
                 continue
             elt = ctx.galois_elt_from_step(s)
             perm = ctx.galois_perm(elt)
-            ksk = self.galois_keys[elt]
-            kdata = jnp.moveaxis(
-                jnp.take(ksk.data[:l], jnp.asarray(key_limbs), axis=2), 1, 0)
             tp = jnp.take(tpoly, perm, axis=-1)
-            ks = _ks_mac_core(tp, kdata, kt, lt, lt_sp, dlt)
+            acc = _ks_mac_core(tp, self._slice_key(self.galois_keys[elt], l, D), kt)
+            ks = self._mod_down_special(acc, l)
             c0p = jnp.take(a.data[0], perm, axis=-1)
             t = self._t(l)
             out.append(Ciphertext(
@@ -521,10 +533,8 @@ class Encryptor:
                 mul_mod(self.public.data[c], u_ntt, t.q, t.ratio0, t.ratio1),
                 nttmod.ntt(e, t), t.q))
         data = jnp.stack(cts)   # [2, L+k, N] at key level
-        # Mod down through each special prime (k=1 path).
-        ev = Evaluator(ctx)
-        dlt = ctx.mod_down_tables(ctx.L)
-        data = ev._ntt_drop_last(data, tuple(range(ctx.L)), ctx.L, dlt)
+        # Mod down through the special primes.
+        data = Evaluator(ctx)._mod_down_special(data, ctx.L)
         data = data[:, : pt.level]
         tq = ctx.tables(pt.level).q
         data = data.at[0].set(add_mod(data[0], pt.data, tq))

@@ -37,13 +37,16 @@ def _rlwe_batch_core(a, e, s_ntt, t):
 
 
 @jax.jit
-def _ksk_assemble_core(b, a, s_src_ntt, p_factor, p_shoup, t):
-    """Add P·s_src into limb i of digit i's b component (batched over the
-    digit axis): b,a [D, L+k, N]; p_factor/p_shoup [L+k, 1] (P mod q_j)."""
-    D = b.shape[0]
+def _ksk_assemble_core(b, a, s_src_ntt, p_factor, p_shoup, own_mask, t):
+    """Add P·s_src into digit j's b component on its own limb group:
+    b,a [D, L+k, N]; p_factor/p_shoup [L+k, 1] (P mod q_j); own_mask
+    [D, L+k, 1] bool marking the data limbs digit j covers.
+
+    Since P ≡ 0 mod every special prime, the encrypted value is exactly
+    P·V_j·s_src with V_j ≡ 1 mod Q_j, ≡ 0 mod Q/Q_j — the hybrid-scheme
+    digit factor; alpha=1 reduces to SEAL's generate_one_kswitch_key."""
     term = mul_mod_shoup(s_src_ntt, p_factor, p_shoup, t.q)   # [L+k, N]
-    eye = jnp.eye(D, b.shape[1], dtype=bool)[..., None]       # [D, L+k, 1]
-    b = jnp.where(eye, add_mod(b, term[None], t.q), b)
+    b = jnp.where(own_mask, add_mod(b, term[None], t.q), b)
     return jnp.stack([b, a], axis=1)                          # [D, 2, L+k, N]
 
 
@@ -101,7 +104,8 @@ class PublicKey:
 
 @dataclass
 class KSwitchKey:
-    """data[digit] = uint64 [2, L+k, N] NTT form; digit i covers limb i."""
+    """data[digit] = uint64 [2, L+k, N] NTT form; digit j covers the limb
+    group [j*alpha, (j+1)*alpha) where alpha = number of special primes."""
     data: jnp.ndarray      # uint64 [num_digits, 2, L+k, N]
 
 
@@ -150,29 +154,36 @@ class KeyGenerator:
         return PublicKey(data=self._rlwe_pair(self.secret.ntt))
 
     def _kswitch_key(self, s_src_ntt: jnp.ndarray) -> KSwitchKey:
-        """Key-switching key from s_src to the secret s (digit per q limb).
+        """Key-switching key from s_src to the secret s: one digit per group
+        of alpha = len(special) ciphertext limbs (hybrid scheme; alpha=1 is
+        SEAL-3.6's digit-per-limb layout, evaluator.cpp:2281).
 
         All digits are generated in one batched jitted call (the reference's
         generate_one_kswitch_key loop, fused)."""
         ctx = self.ctx
         t = self._tables_all
         L = ctx.L
+        D = ctx.num_digits(L)
         P = 1
         for p in ctx.special:
             P *= p
         n_mod = len(ctx.all_moduli)
         a = np.stack([sample_uniform_rns(self.rng, ctx.n, ctx.all_moduli)
-                      for _ in range(L)])
+                      for _ in range(D)])
         e = np.stack([
             _to_rns(sample_gaussian(self.rng, ctx.n, ctx.params.error_std),
-                    ctx.all_moduli) for _ in range(L)])
+                    ctx.all_moduli) for _ in range(D)])
         b = _rlwe_batch_core(jnp.asarray(a), jnp.asarray(e), self.secret.ntt, t)
         p_factor = np.array([P % q for q in ctx.all_moduli],
                             dtype=np.uint64).reshape(-1, 1)
         p_sh = np.array([shoup(P % q, q) for q in ctx.all_moduli],
                         dtype=np.uint64).reshape(-1, 1)
+        own = np.zeros((D, n_mod, 1), dtype=bool)
+        for j, g in enumerate(ctx.digit_groups(L)):
+            own[j, list(g)] = True
         data = _ksk_assemble_core(b, jnp.asarray(a), s_src_ntt,
-                                  jnp.asarray(p_factor), jnp.asarray(p_sh), t)
+                                  jnp.asarray(p_factor), jnp.asarray(p_sh),
+                                  jnp.asarray(own), t)
         return KSwitchKey(data=data)
 
     def relin_key(self) -> KSwitchKey:

@@ -179,3 +179,36 @@ def test_rotate_hoisted_matches_rotate(setup):
     for r, o in zip([0, 1, 3, 5], outs):
         got = dec.decrypt(o)
         assert np.allclose(got, np.roll(z, -r), atol=1e-5), r
+
+
+@pytest.mark.parametrize("nsp", [2, 3])
+def test_multi_special_dnum(nsp):
+    """Hybrid key switching with alpha = num_special limbs per digit
+    (the reference is alpha=1 only; this is the dnum generalization).
+    Covers mult+relin, rotation, hoisted rotation, pk encryption, and a
+    partial trailing digit group (level not a multiple of alpha)."""
+    params = CkksParams.create(
+        logn=LOGN, log_q0=50, log_scale=40, num_levels=5,
+        log_special=51, num_special=nsp, hamming_weight=16)
+    ctx = CkksContext(params)
+    assert ctx.alpha == nsp and ctx.num_digits(5) == -(-5 // nsp)
+    kg = KeyGenerator(ctx, seed=13)
+    ev = Evaluator(ctx, relin_key=kg.relin_key(),
+                   galois_keys=kg.galois_keys(steps=[1, 3]))
+    enc = Encryptor(ctx, secret=kg.secret, public=kg.public_key(), seed=17)
+    dec = Decryptor(ctx, kg.secret)
+    rng = np.random.default_rng(19)
+    z = rng.uniform(-1, 1, SLOTS)
+    sc = params.scale
+    ct = enc.encrypt_symmetric(ev.make_plain(z, sc, 5))
+    out = ev.rescale(ev.multiply(ct, ct))
+    assert np.allclose(dec.decrypt(out), z * z, atol=1e-6)
+    # level 3: trailing partial digit group when nsp=2
+    ct3 = ev.mod_switch_to(ct, 3)
+    rot = ev.rotate(ct3, 3)
+    assert np.allclose(dec.decrypt(rot), np.roll(z, -3), atol=1e-6)
+    h1, h3 = ev.rotate_hoisted(ct3, [1, 3])
+    assert np.allclose(dec.decrypt(h1), np.roll(z, -1), atol=1e-6)
+    assert np.allclose(dec.decrypt(h3), np.roll(z, -3), atol=1e-6)
+    ct_pk = enc.encrypt(ev.make_plain(z, sc, 4))
+    assert np.allclose(dec.decrypt(ct_pk), z, atol=1e-6)
