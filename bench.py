@@ -153,10 +153,10 @@ def bench_bootstrap(args):
 
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument("--logn", type=int, default=14)
-    ap.add_argument("--levels", type=int, default=16)
+    ap.add_argument("--logn", type=int, default=15)
+    ap.add_argument("--levels", type=int, default=22)
     ap.add_argument("--iters", type=int, default=10)
-    ap.add_argument("--nsp", type=int, default=1,
+    ap.add_argument("--nsp", type=int, default=3,
                     help="special primes = hybrid key-switch digit size")
     ap.add_argument("--sparse-slots", type=int, default=0)
     ap.add_argument("--factors", type=int, default=2,

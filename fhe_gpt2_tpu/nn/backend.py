@@ -165,15 +165,28 @@ class CkksBackend:
     def _next_prime(self, a) -> float:
         return float(self.ctx.moduli[a.level - 1])
 
+    def _ab(self, a):
+        """Auto-bootstrap when level headroom is exhausted — the TPU-native
+        form of the reference's mid-kernel bootstraps (Fold.cpp:95-96,
+        PolyApprox.cpp:570): any multiplicative op refreshes its operand
+        first if a real Bootstrapper is attached and the level is at the
+        floor. Kernels never place bootstraps by hand."""
+        if self.boot is not None and a.level <= self.min_level_headroom:
+            return self.bootstrap(a)
+        return a
+
     def mul(self, a, b):
+        a, b = self._ab(a), self._ab(b)
         out = self.ev.multiply_reduced_error(a, b)
         return self.ev.rescale_to_scale(out, max(a.scale, b.scale))
 
     def square(self, a):
+        a = self._ab(a)
         out = self.ev.square(a)
         return self.ev.rescale_to_scale(out, a.scale)
 
     def mul_plain(self, a, v):
+        a = self._ab(a)
         # Scale-targeted encoding (the reference's encode-at-matching-scale
         # reduced-error ops, evaluator.h:1269): choose the plaintext scale so
         # the rescaled product lands exactly at the context scale — works in
@@ -196,17 +209,19 @@ class CkksBackend:
         if c == int(c) and abs(c) < 2 ** 40:
             # Exact integer multiply: free (no level, no scale change).
             return self.ev.mul_const_int(a, int(c))
+        a = self._ab(a)
         delta = self.ctx.params.scale
         cs = delta * self._next_prime(a) / a.scale
         out = self.ev.mul_const(a, c, const_scale=cs)
         return self.ev.rescale_to_scale(out, delta)
 
     def rotate(self, a, steps: int):
-        return self.ev.rotate(a, steps)
+        return self.ev.rotate(self._ab(a), steps)
 
     def rotate_many(self, a, steps):
-        """Hoisted multi-rotation (one digit decomposition)."""
-        return self.ev.rotate_hoisted(a, list(steps))
+        """Hoisted multi-rotation (one digit decomposition). The source is
+        refreshed once (not per rotation) when the level floor is hit."""
+        return self.ev.rotate_hoisted(self._ab(a), list(steps))
 
     def mul_plain_many_sum(self, values: list, masks: list):
         """Σ_t values[t] ⊙ masks[t] as one batched dyadic multiply + modular
@@ -223,6 +238,10 @@ class CkksBackend:
         stacked = jnp.stack([v.data[..., :lvl, :] for v in values], axis=1)
         pts = jnp.stack(
             [self._plain(m, lvl, cs).data for m in masks])     # [T, l, N]
+        # Broadcast across any ciphertext batch dims: [T, 1..., l, N].
+        batch_ndim = stacked.ndim - 4
+        if batch_ndim:
+            pts = pts.reshape(pts.shape[0], *(1,) * batch_ndim, *pts.shape[1:])
         t = self.ctx.tables(lvl)
         from ..core.modmath import mul_mod
         prod = mul_mod(stacked, pts, t.q, t.ratio0, t.ratio1)  # [2, T, l, N]

@@ -27,6 +27,11 @@ def main():
     ap.add_argument("--plain", action="store_true")
     ap.add_argument("--logn", type=int, default=12)
     ap.add_argument("--slots", type=int, default=1024)
+    ap.add_argument("--levels", type=int, default=40)
+    ap.add_argument("--nsp", type=int, default=1,
+                    help="special primes (hybrid key-switch digit size)")
+    ap.add_argument("--real-boot", action="store_true",
+                    help="use the real CKKS bootstrap between blocks")
     a = ap.parse_args()
 
     import torch
@@ -82,18 +87,25 @@ def _run_encrypted(a, sh, plans, emb):
 
     rec = RecordingBackend(sh.slots)
     M.forward(rec, list(sh.act.pack(emb)), plans)
-    levels = 40
+    levels = a.levels
     params = CkksParams.create(
         logn=a.logn, log_q0=50, log_scale=40, num_levels=levels,
-        log_special=51, hamming_weight=64)
+        log_special=51, num_special=a.nsp, hamming_weight=64)
     ctx = CkksContext(params)
     assert ctx.params.slots == sh.slots
     kg = KeyGenerator(ctx, seed=1)
-    ev = Evaluator(ctx, relin_key=kg.relin_key(),
-                   galois_keys=kg.galois_keys(steps=rec.key_steps()))
+    ev = Evaluator(ctx, relin_key=kg.relin_key())
     enc = Encryptor(ctx, secret=kg.secret, seed=2)
     dec = Decryptor(ctx, kg.secret)
     B = CkksBackend(ctx=ctx, ev=ev, enc=enc, dec=dec, default_level=levels)
+    steps = set(rec.key_steps())
+    if a.real_boot:
+        from .boot.bootstrap import Bootstrapper, make_evalmod
+        em = make_evalmod(K=12, eps=2 ** -5, degree=45, arcsin_degree=3,
+                          prec_dps=60)
+        B.boot = Bootstrapper(B, evalmod=em)
+        steps.update(B.boot.required_steps())
+    ev.galois_keys = kg.galois_keys(steps=sorted(steps), conjugate=True)
     xs = [B.from_slots(v) for v in sh.act.pack(emb)]
     out = M.forward(B, xs, plans)
     return sh.act.unpack(np.stack([B.to_slots(o) for o in out]))

@@ -29,6 +29,12 @@ def main():
     ap.add_argument("--logn", type=int, default=15)
     ap.add_argument("--levels", type=int, default=20)
     ap.add_argument("--seed", type=int, default=0)
+    ap.add_argument("--nsp", type=int, default=1,
+                    help="special primes (hybrid key-switch digit size)")
+    ap.add_argument("--real-boot", action="store_true",
+                    help="use the real CKKS bootstrap between blocks "
+                         "(default: fakeBootstrap level reset, like the "
+                         "reference's bring-up path util.cpp:266)")
     a = ap.parse_args()
 
     from .approx.minimax import auto_schedule
@@ -84,14 +90,21 @@ def _run_encrypted(a, rp, lay, img):
     R.forward(rec, list(lay.pack(img)), rp, boot_between=False)
     params = CkksParams.create(
         logn=a.logn, log_q0=51, log_scale=46, num_levels=a.levels,
-        log_special=51, hamming_weight=192)
+        log_special=51, num_special=a.nsp, hamming_weight=192)
     ctx = CkksContext(params)
     kg = KeyGenerator(ctx, seed=1)
-    ev = Evaluator(ctx, relin_key=kg.relin_key(),
-                   galois_keys=kg.galois_keys(steps=rec.key_steps()))
+    ev = Evaluator(ctx, relin_key=kg.relin_key())
     enc = Encryptor(ctx, secret=kg.secret, seed=2)
     dec = Decryptor(ctx, kg.secret)
     B = CkksBackend(ctx=ctx, ev=ev, enc=enc, dec=dec, default_level=a.levels)
+    steps = set(rec.key_steps())
+    if a.real_boot:
+        from .boot.bootstrap import Bootstrapper, make_evalmod
+        em = make_evalmod(K=12, eps=2 ** -5, degree=45, arcsin_degree=3,
+                          prec_dps=60)
+        B.boot = Bootstrapper(B, evalmod=em)
+        steps.update(B.boot.required_steps())
+    ev.galois_keys = kg.galois_keys(steps=sorted(steps), conjugate=True)
     xs = [B.from_slots(v) for v in lay.pack(img)]
     out = R.forward(B, xs, rp)
     return R.logits_from_slots(rp, B.to_slots(out[0]))

@@ -67,3 +67,42 @@ def test_full_bootstrap():
     # (run_bootstrapping.cpp error metric).
     assert err.mean() < 1e-2
     assert err.max() < 5e-2
+
+
+@pytest.mark.slow
+def test_auto_bootstrap_in_kernel():
+    """Backend auto-boot: a minimax ReLU started on a nearly-exhausted
+    ciphertext refreshes itself mid-kernel via the real Bootstrapper — the
+    TPU-native form of the reference's mid-kernel bootstraps
+    (Fold.cpp:95-96), with no hand-placed bootstrap calls."""
+    from fhe_gpt2_tpu.approx.minimax import auto_schedule
+    from fhe_gpt2_tpu.nn import kernels as K
+    from fhe_gpt2_tpu.core.keys import KeyGenerator
+
+    params = CkksParams.create(
+        logn=LOGN, log_q0=45, log_scale=40, num_levels=LEVELS,
+        log_special=51, hamming_weight=16, sparse_slots=NS)
+    ctx = CkksContext(params)
+    kg = KeyGenerator(ctx, seed=3)
+    enc = Encryptor(ctx, secret=kg.secret, seed=4)
+    dec = Decryptor(ctx, kg.secret)
+    ev = Evaluator(ctx, relin_key=kg.relin_key())
+    B = CkksBackend(ctx=ctx, ev=ev, enc=enc, dec=dec, default_level=LEVELS)
+    em = make_evalmod(K=12, eps=2 ** -5, degree=45, arcsin_degree=3,
+                      prec_dps=60)
+    B.boot = Bootstrapper(B, num_slots=NS, evalmod=em)
+    ev.galois_keys = kg.galois_keys(steps=B.boot.required_steps(),
+                                    conjugate=True)
+
+    sp = K.SignPlans.from_composite(
+        auto_schedule(target_err=2.0 ** -8, eps=2.0 ** -6))
+    rng = np.random.default_rng(7)
+    z = rng.uniform(-0.9, 0.9, NS)
+    # Start at level 5: the sign composite needs far more — auto-boot must
+    # fire at least once inside the kernel.
+    ct = enc.encrypt(ev.make_plain(z, params.scale, 5))
+    out = K.relu(B, ct, sp)
+    back = np.real(dec.decrypt(out, num_slots=NS))
+    err = np.abs(back - np.maximum(z, 0.0))
+    # Points within the sign dead-zone eps contribute |x|<2^-6 error at most.
+    assert err.mean() < 2e-2 and err.max() < 6e-2, (err.mean(), err.max())
