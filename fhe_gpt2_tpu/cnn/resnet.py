@@ -71,18 +71,27 @@ class ResNetPlans:
     relu_bound: float
     sign: K.SignPlans
     layouts: list
+    normalized: bool = False
 
 
 def build_resnet_plans(weights: dict, depth: int, slots: int,
                        h: int = 32, relu_bound: float = 40.0,
                        sign: Optional[K.SignPlans] = None,
-                       giant=None) -> ResNetPlans:
+                       giant=None, normalize: bool = True) -> ResNetPlans:
+    """`normalize=True` keeps every stored ciphertext value at true/B
+    (B = relu_bound) — the reference's B-boundary invariant (ReLU_seal,
+    cnn_seal.cpp:577-592): all linear maps commute with the 1/B factor,
+    biases are pre-divided, sign sees [-1,1] directly, and — critically —
+    values stay inside the bootstrap EvalMod window (|m| ≤ eps·q0/Δ), so
+    real bootstraps can fire anywhere. Decoded logits are re-multiplied
+    by B in logits_from_slots."""
     n = (depth - 2) // 6
     sign = sign or K.SignPlans.from_composite(
         __import__("fhe_gpt2_tpu.approx.minimax", fromlist=["auto_schedule"])
         .auto_schedule(target_err=2.0 ** -10, eps=2.0 ** -7))
     lay = PlanarLayout(3, h, h, slots)
     l16 = PlanarLayout(16, h, h, slots)
+    bdiv = relu_bound if normalize else 1.0
 
     def conv_bn(wname, bnname, lin, lout, stride=1):
         cw = weights[wname]
@@ -91,7 +100,7 @@ def build_resnet_plans(weights: dict, depth: int, slots: int,
                          weights[f"{bnname}_running_mean"],
                          weights[f"{bnname}_running_var"])
         spec = conv2d_spec(wf, lin, lout, stride, name=wname)
-        return spec.bsgs_plan(giant), bias_vector(lout, bf)
+        return spec.bsgs_plan(giant), bias_vector(lout, bf / bdiv)
 
     stem_plan, stem_bias = conv_bn("conv1", "bn1", lay, l16)
     blocks = []
@@ -123,13 +132,21 @@ def build_resnet_plans(weights: dict, depth: int, slots: int,
     fc = fc_spec(fcw, 64, slots).bsgs_plan(giant)
     return ResNetPlans(depth=depth, slots=slots,
                        stem=(stem_plan, stem_bias, l16), blocks=blocks,
-                       pool=pool, fc=fc, fc_bias=weights["linear_bias"],
+                       pool=pool, fc=fc,
+                       fc_bias=weights["linear_bias"] / bdiv,
                        relu_bound=relu_bound, sign=sign,
-                       layouts=[lay, l16, lin])
+                       layouts=[lay, l16, lin], normalized=normalize)
+
+
+def pack_input(rp: ResNetPlans, img: np.ndarray) -> list:
+    """Pack an input image in the plans' storage convention."""
+    x = img / rp.relu_bound if rp.normalized else img
+    return list(rp.layouts[0].pack(x))
 
 
 def _relu(B, xs, rp: ResNetPlans):
-    return [K.relu(B, x, rp.sign, bound=rp.relu_bound) for x in xs]
+    bound = 1.0 if rp.normalized else rp.relu_bound
+    return [K.relu(B, x, rp.sign, bound=bound) for x in xs]
 
 
 def forward(B, xs, rp: ResNetPlans, boot_between: bool = True):
@@ -164,7 +181,8 @@ def _fc_bias_vec(rp: ResNetPlans) -> np.ndarray:
 
 
 def logits_from_slots(rp: ResNetPlans, slots_vec: np.ndarray) -> np.ndarray:
-    return np.asarray(slots_vec).ravel()[:10]
+    out = np.asarray(slots_vec).ravel()[:10]
+    return out * rp.relu_bound if rp.normalized else out
 
 
 # Float oracle (host) -------------------------------------------------------

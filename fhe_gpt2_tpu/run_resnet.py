@@ -63,7 +63,7 @@ def main():
         t0 = time.time()
         if a.plain:
             B = PlainBackend(slots)
-            out = R.forward(B, list(lay.pack(img)), rp, boot_between=False)
+            out = R.forward(B, R.pack_input(rp, img), rp, boot_between=False)
             got = R.logits_from_slots(rp, out[0])
         else:
             got = _run_encrypted(a, rp, lay, img)
@@ -87,7 +87,7 @@ def _run_encrypted(a, rp, lay, img):
     from .nn.backend import CkksBackend, RecordingBackend
 
     rec = RecordingBackend(rp.slots)
-    R.forward(rec, list(lay.pack(img)), rp, boot_between=False)
+    R.forward(rec, R.pack_input(rp, img), rp, boot_between=False)
     params = CkksParams.create(
         logn=a.logn, log_q0=51, log_scale=46, num_levels=a.levels,
         log_special=51, num_special=a.nsp, hamming_weight=192)
@@ -105,7 +105,7 @@ def _run_encrypted(a, rp, lay, img):
         B.boot = Bootstrapper(B, evalmod=em)
         steps.update(B.boot.required_steps())
     ev.galois_keys = kg.galois_keys(steps=sorted(steps), conjugate=True)
-    xs = [B.from_slots(v) for v in lay.pack(img)]
+    xs = [B.from_slots(v) for v in R.pack_input(rp, img)]
     out = R.forward(B, xs, rp)
     return R.logits_from_slots(rp, B.to_slots(out[0]))
 

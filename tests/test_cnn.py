@@ -82,7 +82,7 @@ def test_resnet20_plain_vs_oracle():
     rp = R.build_resnet_plans(weights, 20, slots, sign=sign)
     B = PlainBackend(slots)
     lay = rp.layouts[0]
-    out = R.forward(B, list(lay.pack(img)), rp, boot_between=False)
+    out = R.forward(B, R.pack_input(rp, img), rp, boot_between=False)
     got = R.logits_from_slots(rp, out[0])
     print("logits got ", np.round(got, 3))
     print("logits want", np.round(want, 3))
