@@ -124,7 +124,10 @@ def bench_bootstrap(args):
     def run(data):
         return boot.bootstrap(Ciphertext(data, params.scale)).data
 
-    run_j = jax.jit(run)
+    # Keys + encoded masks ride as jit arguments (not captured constants):
+    # ~GBs of inline constants otherwise, which breaks remote compile.
+    from fhe_gpt2_tpu.nn.backend import jit_sealed
+    run_j = jit_sealed(B, run, ct.data)
     t0 = time.time()
     out = jax.block_until_ready(run_j(ct.data))
     print(f"# first call (compile) {time.time()-t0:.1f}s", file=sys.stderr)

@@ -149,13 +149,19 @@ def _relu(B, xs, rp: ResNetPlans):
     return [K.relu(B, x, rp.sign, bound=bound) for x in xs]
 
 
-def forward(B, xs, rp: ResNetPlans, boot_between: bool = True):
-    """Encrypted ResNet forward. xs: planar-packed ct list (usually 1 ct)."""
-    plan, bias, _ = rp.stem
-    xs = apply_lt(B, plan, xs)
-    xs = [B.add_plain(x, bias[i]) for i, x in enumerate(xs)]
-    xs = _relu(B, xs, rp)
-    for blk in rp.blocks:
+def forward_segments(B, rp: ResNetPlans, boot_between: bool = True) -> list:
+    """The forward pass as a list of ct-list → ct-list callables: stem, one
+    per residual block, and the pool/FC tail. Segments are the jit/compile
+    unit for device execution — each compiles once and a whole-model graph
+    (thousands of rotations) is never materialized."""
+
+    def stem(xs):
+        plan, bias, _ = rp.stem
+        xs = apply_lt(B, plan, xs)
+        xs = [B.add_plain(x, bias[i]) for i, x in enumerate(xs)]
+        return _relu(B, xs, rp)
+
+    def block(xs, blk):
         if boot_between:
             xs = [B.maybe_bootstrap(x, 8) for x in xs]
         h = apply_lt(B, blk["plan1"], xs)
@@ -167,11 +173,35 @@ def forward(B, xs, rp: ResNetPlans, boot_between: bool = True):
         h = [B.add_plain(v, blk["bias2"][i]) for i, v in enumerate(h)]
         res = xs if blk["short"] is None else apply_lt(B, blk["short"], xs)
         h = [B.add(a, b) for a, b in zip(h, res)]
-        xs = _relu(B, h, rp)
-    xs = apply_lt(B, rp.pool, xs)
-    xs = apply_lt(B, rp.fc, xs)
-    out = B.add_plain(xs[0], _fc_bias_vec(rp))
-    return [out]
+        return _relu(B, h, rp)
+
+    def tail(xs):
+        xs = apply_lt(B, rp.pool, xs)
+        xs = apply_lt(B, rp.fc, xs)
+        return [B.add_plain(xs[0], _fc_bias_vec(rp))]
+
+    segs = [stem]
+    segs += [lambda xs, blk=blk: block(xs, blk) for blk in rp.blocks]
+    segs.append(tail)
+    return segs
+
+
+def forward(B, xs, rp: ResNetPlans, boot_between: bool = True, jit=False):
+    """Encrypted ResNet forward. xs: planar-packed ct list (usually 1 ct).
+
+    jit=True wraps each segment in jax.jit over the Ciphertext pytrees
+    (scale/level are static aux, so bootstrap placement is resolved at
+    trace time) — required on TPU, where eager per-op dispatch over the
+    device link dominates."""
+    segs = forward_segments(B, rp, boot_between)
+    if jit:
+        from ..nn.backend import jit_sealed
+        for s in segs:
+            xs = jit_sealed(B, s, xs)(xs)
+        return xs
+    for s in segs:
+        xs = s(xs)
+    return xs
 
 
 def _fc_bias_vec(rp: ResNetPlans) -> np.ndarray:

@@ -120,6 +120,22 @@ class GaloisKeys:
         return self.keys[elt]
 
 
+# Keys are pytrees so jitted programs can take them as *arguments* rather
+# than capturing hundreds of MB of key material as inline HLO constants
+# (see nn.backend.jit_sealed).
+jax.tree_util.register_pytree_node(
+    KSwitchKey,
+    lambda k: ((k.data,), None),
+    lambda _, c: KSwitchKey(data=c[0]),
+)
+jax.tree_util.register_pytree_node(
+    GaloisKeys,
+    lambda g: (tuple(g.keys[e] for e in sorted(g.keys)),
+               tuple(sorted(g.keys))),
+    lambda elts, ch: GaloisKeys(keys=dict(zip(elts, ch))),
+)
+
+
 class KeyGenerator:
     def __init__(self, ctx: CkksContext, seed: int = 0):
         self.ctx = ctx

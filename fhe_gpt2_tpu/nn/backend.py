@@ -294,3 +294,45 @@ class CkksBackend:
             return np.stack([np.real(self.dec.decrypt(c))
                              for c in unstack_cts(a)])
         return np.real(self.dec.decrypt(a))
+
+
+def jit_sealed(B: "CkksBackend", fn, *example_args):
+    """jax.jit `fn` with the backend's key material and cached plaintext
+    encodings passed as ARGUMENTS rather than captured constants.
+
+    Naively jitting an encrypted kernel closes over the relin/Galois keys and
+    every encoded mask — gigabytes of inline HLO constants at production
+    parameters, which bloats the executable (XLA materializes constants per
+    program) and overwhelms remote-compile transports. Here:
+
+      1. an eval_shape pass over `example_args` runs all host-side mask
+         encodings once, populating B._plain_cache with concrete arrays
+         (no device compute, no compile);
+      2. the jitted wrapper takes (relin, galois, plain_cache, *args) as
+         pytree inputs and temporarily installs them on the backend during
+         tracing, so the lowered program references them as parameters.
+
+    Returns a callable with `fn`'s original signature.
+    """
+    import jax
+
+    ev = B.ev
+
+    def inner(relin, galois, plains, *args):
+        saved = ev.relin_key, ev.galois_keys, B._plain_cache
+        ev.relin_key, ev.galois_keys = relin, galois
+        B._plain_cache = plains
+        try:
+            return fn(*args)
+        finally:
+            ev.relin_key, ev.galois_keys, B._plain_cache = saved
+
+    # Warm the plaintext-encoding cache host-side (abstract ciphertexts,
+    # concrete masks/levels).
+    jax.eval_shape(fn, *example_args)
+    jf = jax.jit(inner)
+
+    def call(*args):
+        return jf(ev.relin_key, ev.galois_keys, B._plain_cache, *args)
+
+    return call

@@ -31,6 +31,8 @@ def main():
     ap.add_argument("--seed", type=int, default=0)
     ap.add_argument("--nsp", type=int, default=1,
                     help="special primes (hybrid key-switch digit size)")
+    ap.add_argument("--jit", action="store_true",
+                    help="jit each forward segment (required on TPU)")
     ap.add_argument("--real-boot", action="store_true",
                     help="use the real CKKS bootstrap between blocks "
                          "(default: fakeBootstrap level reset, like the "
@@ -106,7 +108,7 @@ def _run_encrypted(a, rp, lay, img):
         steps.update(B.boot.required_steps())
     ev.galois_keys = kg.galois_keys(steps=sorted(steps), conjugate=True)
     xs = [B.from_slots(v) for v in R.pack_input(rp, img)]
-    out = R.forward(B, xs, rp)
+    out = R.forward(B, xs, rp, jit=a.jit)
     return R.logits_from_slots(rp, B.to_slots(out[0]))
 
 
