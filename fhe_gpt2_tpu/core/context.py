@@ -15,6 +15,7 @@ from dataclasses import dataclass, field
 from functools import lru_cache
 
 import numpy as np
+import jax
 import jax.numpy as jnp
 
 from . import primes, ntt as nttmod, rns
@@ -116,7 +117,10 @@ class CkksContext:
             limbs = tuple(range(limbs))
         key = tuple(limbs)
         if key not in self._level_tables:
-            self._level_tables[key] = self.ntt_all.slice(list(key))
+            # Cached constants must be concrete even when first requested
+            # inside a trace (jit/eval_shape) — never cache tracers.
+            with jax.ensure_compile_time_eval():
+                self._level_tables[key] = self.ntt_all.slice(list(key))
         return self._level_tables[key]
 
     def key_limbs(self, level: int) -> tuple[int, ...]:
@@ -153,18 +157,20 @@ class CkksContext:
         key = ("decomp", level)
         if key not in self._mod_down:
             dst = [self.all_moduli[i] for i in self.key_limbs(level)]
-            self._mod_down[key] = tuple(
-                rns.make_base_conv([self.moduli[i] for i in g], dst)
-                for g in self.digit_groups(level)
-            )
+            with jax.ensure_compile_time_eval():
+                self._mod_down[key] = tuple(
+                    rns.make_base_conv([self.moduli[i] for i in g], dst)
+                    for g in self.digit_groups(level)
+                )
         return self._mod_down[key]
 
     def drop_last_tables(self, level: int) -> rns.DropLastTables:
         """Rescale tables: divide by q_{level-1}, keep q_0..q_{level-2}."""
         if level not in self._drop_last:
-            self._drop_last[level] = rns.make_drop_last(
-                self.moduli[: level - 1], self.moduli[level - 1]
-            )
+            with jax.ensure_compile_time_eval():
+                self._drop_last[level] = rns.make_drop_last(
+                    self.moduli[: level - 1], self.moduli[level - 1]
+                )
         return self._drop_last[level]
 
     def mod_down_tables(self, level: int, sp: int = 0) -> rns.DropLastTables:
@@ -172,17 +178,19 @@ class CkksContext:
         q_0..q_{level-1} + specials 0..sp-1 (specials drop last-to-first)."""
         key = (level, sp)
         if key not in self._mod_down:
-            self._mod_down[key] = rns.make_drop_last(
-                self.moduli[:level] + self.special[:sp], self.special[sp]
-            )
+            with jax.ensure_compile_time_eval():
+                self._mod_down[key] = rns.make_drop_last(
+                    self.moduli[:level] + self.special[:sp], self.special[sp]
+                )
         return self._mod_down[key]
 
     def galois_perm(self, galois_elt: int) -> jnp.ndarray:
         """NTT-domain permutation for X -> X^g, cached on device."""
         if galois_elt not in self._galois_perm:
-            self._galois_perm[galois_elt] = jnp.asarray(
-                nttmod.galois_ntt_permutation(self.n, galois_elt)
-            )
+            with jax.ensure_compile_time_eval():
+                self._galois_perm[galois_elt] = jnp.asarray(
+                    nttmod.galois_ntt_permutation(self.n, galois_elt)
+                )
         return self._galois_perm[galois_elt]
 
     def galois_elt_from_step(self, step: int) -> int:
@@ -194,6 +202,27 @@ class CkksContext:
     @property
     def galois_elt_conjugate(self) -> int:
         return 2 * self.n - 1
+
+    def p_residues(self, level: int):
+        """(P mod q_i, shoup) over the key basis at `level`, shape [l+k, 1].
+
+        P = prod(special primes); residues at the special limbs are 0. Used to
+        lift a base-Q polynomial into the extended QP basis (multiply by P)
+        for double-hoisted rotations.
+        """
+        key = ("p_res", level)
+        if key not in self._mod_down:
+            P = math.prod(self.special)
+            limbs = self.key_limbs(level)
+            r = np.array([P % self.all_moduli[i] for i in limbs],
+                         dtype=np.uint64).reshape(-1, 1)
+            sh = np.array(
+                [shoup(int(v), self.all_moduli[i]) if v else 0
+                 for v, i in zip(r.ravel(), limbs)],
+                dtype=np.uint64).reshape(-1, 1)
+            with jax.ensure_compile_time_eval():
+                self._mod_down[key] = (jnp.asarray(r), jnp.asarray(sh))
+        return self._mod_down[key]
 
     # -- scalar helpers -----------------------------------------------------
 

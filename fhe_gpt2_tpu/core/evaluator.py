@@ -189,10 +189,15 @@ class Evaluator:
     # -- encoding -----------------------------------------------------------
 
     def make_plain(self, values, scale: float, level: int) -> Plaintext:
-        """Host-encode a slot vector into an NTT-form plaintext."""
+        """Host-encode a slot vector into an NTT-form plaintext.
+
+        Inputs are always host data, so the encoding is forced concrete even
+        when called mid-trace — plaintexts are cached (nn/backend.py) and
+        reused across jit traces, and must never capture tracers."""
         res = embedding.encode(values, scale, self.ctx, tuple(range(level)))
         t = self.ctx.tables(level)
-        return Plaintext(data=nttmod.ntt(jnp.asarray(res), t), scale=scale)
+        with jax.ensure_compile_time_eval():
+            return Plaintext(data=nttmod.ntt(jnp.asarray(res), t), scale=scale)
 
     def decode_plain(self, pt: Plaintext, num_slots=None) -> np.ndarray:
         t = self.ctx.tables(pt.level)
@@ -421,6 +426,62 @@ class Evaluator:
             out.append(Ciphertext(
                 jnp.stack([add_mod(c0p, ks[0], t.q), ks[1]]), a.scale))
         return out
+
+    def make_plain_ext(self, values, scale: float, level: int) -> Plaintext:
+        """Encode a slot vector over the extended key basis QP (data limbs +
+        special primes) — the operand form for double-hoisted masked sums."""
+        limbs = self.ctx.key_limbs(level)
+        res = embedding.encode(values, scale, self.ctx, limbs)
+        t = self.ctx.tables(limbs)
+        with jax.ensure_compile_time_eval():
+            return Plaintext(data=nttmod.ntt(jnp.asarray(res), t), scale=scale)
+
+    def hoisted_rotations_ext(self, a: Ciphertext,
+                              steps: list[int]) -> list[jnp.ndarray]:
+        """Double-hoisting (Bossuat et al. EUROCRYPT'21): rotations of one
+        ciphertext kept in the extended QP basis, WITHOUT the per-rotation
+        mod-down that dominates rotate_hoisted (each mod-down re-NTTs ~l
+        limbs per special prime). Returns, per step, uint64[2, ..., l+k, N]
+        representing P·(rotated ct): callers mask-multiply and accumulate in
+        QP and pay a single mod-down per accumulator (see nn/linear.apply_lt).
+
+        The reference has no counterpart (its hoisting variant
+        bsgs_linear_transform_hoisting, Bootstrapper.cpp:2091, still
+        mod-downs per rotation)."""
+        ctx = self.ctx
+        l = a.level
+        kt, bcts, own, D = self._ks_structs(l)
+        p_res, p_shoup = ctx.p_residues(l)
+        t = self._t(l)
+        tpoly = None
+        out = []
+        for s in steps:
+            s = s % (ctx.n // 2)
+            if s == 0:
+                pc = mul_mod_shoup(a.data, p_res[:l], p_shoup[:l], t.q)
+                pad = jnp.zeros((*pc.shape[:-2], ctx.k_sp, pc.shape[-1]),
+                                pc.dtype)
+                out.append(jnp.concatenate([pc, pad], axis=-2))
+                continue
+            if tpoly is None:
+                tpoly = _decompose_core(a.data[1], kt, ctx.tables(l), bcts, own)
+            elt = ctx.galois_elt_from_step(s)
+            perm = ctx.galois_perm(elt)
+            tp = jnp.take(tpoly, perm, axis=-1)
+            acc = _ks_mac_core(
+                tp, self._slice_key(self.galois_keys[elt], l, D), kt)
+            c0p = jnp.take(a.data[0], perm, axis=-1)
+            pc0 = mul_mod_shoup(c0p, p_res[:l], p_shoup[:l], t.q)
+            e0 = acc[0].at[..., :l, :].set(
+                add_mod(acc[0][..., :l, :], pc0, t.q))
+            out.append(jnp.stack([e0, acc[1]]))
+        return out
+
+    def mod_down_ext(self, data: jnp.ndarray, level: int,
+                     scale: float) -> Ciphertext:
+        """Divide an extended-basis accumulator [2, ..., l+k, N] by P (exact
+        divide-and-round) — the single deferred mod-down of double-hoisting."""
+        return Ciphertext(self._mod_down_special(data, level), scale)
 
     def conjugate(self, a: Ciphertext) -> Ciphertext:
         return self.apply_galois(a, self.ctx.galois_elt_conjugate)

@@ -70,14 +70,23 @@ class NttTables:
     psi: tuple = field(default_factory=tuple)
 
     def slice(self, idx: list[int]) -> "NttTables":
-        """Tables restricted to a static subset of limbs (e.g. current level)."""
+        """Tables restricted to a static subset of limbs (e.g. current level).
+
+        Slices via host numpy so the result is concrete even when called
+        inside a trace (eval_shape/jit) — sliced tables are cached on the
+        context and must never capture tracers."""
         i = np.asarray(idx)
+
+        def s(x):
+            with jax.ensure_compile_time_eval():
+                return jnp.asarray(np.asarray(x)[i])
+
         return NttTables(
             n=self.n, logn=self.logn,
-            q=self.q[i], ratio0=self.ratio0[i], ratio1=self.ratio1[i],
-            roots=self.roots[i], roots_shoup=self.roots_shoup[i],
-            inv_roots=self.inv_roots[i], inv_roots_shoup=self.inv_roots_shoup[i],
-            n_inv=self.n_inv[i], n_inv_shoup=self.n_inv_shoup[i],
+            q=s(self.q), ratio0=s(self.ratio0), ratio1=s(self.ratio1),
+            roots=s(self.roots), roots_shoup=s(self.roots_shoup),
+            inv_roots=s(self.inv_roots), inv_roots_shoup=s(self.inv_roots_shoup),
+            n_inv=s(self.n_inv), n_inv_shoup=s(self.n_inv_shoup),
             moduli=tuple(self.moduli[j] for j in idx),
             psi=tuple(self.psi[j] for j in idx),
         )

@@ -122,6 +122,16 @@ class RecordingBackend(PlainBackend):
 
 
 @dataclass
+class _ExtValue:
+    """A rotated ciphertext held in the extended QP basis (double-hoisting
+    intermediate): data uint64[2, ..., l+k, N] = P·(rotated ct)."""
+
+    data: object
+    scale: float
+    level: int
+
+
+@dataclass
 class CkksBackend:
     """Encrypted backend over the evaluator; values are Ciphertexts.
 
@@ -145,7 +155,10 @@ class CkksBackend:
 
     # -- plaintext encoding cache ------------------------------------------
     def _plain(self, v: np.ndarray, level: int, scale: float) -> Plaintext:
-        key = (id(v), level, scale)
+        # Keys must be homogeneous tuples ("q"/"ext" tag first): the cache is
+        # passed as a jit-argument pytree (jit_sealed) and pytree dicts sort
+        # their keys.
+        key = ("q", id(v), level, scale)
         out = self._plain_cache.get(key)
         if out is None:
             out = self.ev.make_plain(np.asarray(v).ravel(), scale, level)
@@ -251,6 +264,57 @@ class CkksBackend:
 
     def conjugate(self, a):
         return self.ev.conjugate(a)
+
+    # -- double-hoisted LT path (Bossuat et al.; see evaluator
+    #    hoisted_rotations_ext). The LT engine uses these when present. ------
+
+    def lt_hoist_ext(self, xs: list, needed: dict):
+        """Baby-rotate each source in the extended QP basis.
+
+        needed: {src_index: sorted rotation amounts}. Returns
+        {(src, amount): _ExtValue}. Sources are aligned to a common level
+        (and auto-bootstrapped at the floor) before decomposition.
+        """
+        srcs = {s: self._ab(xs[s]) for s in needed}
+        lvl = min(v.level for v in srcs.values())
+        out = {}
+        for src, amounts in needed.items():
+            a = self.ev.mod_switch_to(srcs[src], lvl)
+            exts = self.ev.hoisted_rotations_ext(a, list(amounts))
+            for i, e in zip(amounts, exts):
+                out[(src, i)] = _ExtValue(e, a.scale, lvl)
+        return out
+
+    def lt_mask_sum_ext(self, exts: list, masks: list):
+        """Σ_t masks[t] ⊙ exts[t] accumulated in the QP basis, then ONE
+        mod-down + rescale — replaces per-rotation mod-downs (the NTT-heavy
+        half of a key switch) with one per destination accumulator."""
+        import jax.numpy as jnp
+        from ..core.evaluator import mod_sum
+        from ..core.modmath import mul_mod
+        e0 = exts[0]
+        lvl = e0.level
+        assert all(e.level == lvl for e in exts)
+        delta = self.ctx.params.scale
+        cs = delta * float(self.ctx.moduli[lvl - 1]) / e0.scale
+        pts = jnp.stack([self._plain_ext(m, lvl, cs).data for m in masks])
+        stacked = jnp.stack([e.data for e in exts], axis=1)  # [2, T, ..., lk, N]
+        batch_ndim = stacked.ndim - 4
+        if batch_ndim:
+            pts = pts.reshape(pts.shape[0], *(1,) * batch_ndim, *pts.shape[1:])
+        kt = self.ctx.tables(self.ctx.key_limbs(lvl))
+        prod = mul_mod(stacked, pts, kt.q, kt.ratio0, kt.ratio1)
+        acc = mod_sum(prod, kt.q, kt.ratio1, axis=1)
+        out = self.ev.mod_down_ext(acc, lvl, e0.scale * cs)
+        return self.ev.rescale_to_scale(out, delta)
+
+    def _plain_ext(self, v: np.ndarray, level: int, scale: float):
+        key = ("ext", id(v), level, scale)
+        out = self._plain_cache.get(key)
+        if out is None:
+            out = self.ev.make_plain_ext(np.asarray(v).ravel(), scale, level)
+            self._plain_cache[key] = out
+        return out
 
     # -- level management ---------------------------------------------------
     def level(self, a) -> int:

@@ -146,6 +146,22 @@ def apply_lt(B, plan: BsgsPlan, xs, level_cost_note: str = ""):
         for terms in per_dst.values():
             for (i, src, _) in terms:
                 needed.setdefault(src, set()).add(i)
+    if hasattr(B, "lt_hoist_ext"):
+        # Double-hoisted path: baby rotations stay in the extended QP basis,
+        # the masked accumulation runs there, and each destination pays ONE
+        # mod-down instead of one per rotation (the per-rotation mod-down is
+        # the NTT-dominated half of a key switch).
+        ext = B.lt_hoist_ext(xs, {s: sorted(a) for s, a in needed.items()})
+        out = [None] * spec.n_dst
+        for jg, per_dst in sorted(plan.groups.items()):
+            for dst, terms in per_dst.items():
+                acc = B.lt_mask_sum_ext(
+                    [ext[(src, i)] for (i, src, _) in terms],
+                    [m for (_, _, m) in terms])
+                if jg:
+                    acc = B.rotate(acc, jg)
+                out[dst] = acc if out[dst] is None else B.add(out[dst], acc)
+        return out
     if hasattr(B, "rotate_many"):
         for src, amounts in needed.items():
             amounts = sorted(amounts)
