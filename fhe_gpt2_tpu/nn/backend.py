@@ -273,17 +273,42 @@ class CkksBackend:
 
         needed: {src_index: sorted rotation amounts}. Returns
         {(src, amount): _ExtValue}. Sources are aligned to a common level
-        (and auto-bootstrapped at the floor) before decomposition.
+        (and auto-bootstrapped at the floor) before decomposition; sources
+        sharing the same amount set are stacked and decomposed as ONE batched
+        ciphertext (one digit decomposition / NTT dispatch for all of them).
         """
+        import jax.numpy as jnp
+        from ..core.evaluator import stack_cts
         srcs = {s: self._ab(xs[s]) for s in needed}
         lvl = min(v.level for v in srcs.values())
-        out = {}
+        by_amounts: dict = {}
         for src, amounts in needed.items():
-            a = self.ev.mod_switch_to(srcs[src], lvl)
-            exts = self.ev.hoisted_rotations_ext(a, list(amounts))
+            by_amounts.setdefault(tuple(amounts), []).append(src)
+        out = {}
+        for amounts, group in by_amounts.items():
+            cts = [self.ev.mod_switch_to(srcs[s], lvl) for s in group]
+            if len(group) == 1:
+                exts = self.ev.hoisted_rotations_ext(cts[0], list(amounts))
+                for i, e in zip(amounts, exts):
+                    out[(group[0], i)] = _ExtValue(e, cts[0].scale, lvl)
+                continue
+            stacked = stack_cts(cts)
+            exts = self.ev.hoisted_rotations_ext(stacked, list(amounts))
             for i, e in zip(amounts, exts):
-                out[(src, i)] = _ExtValue(e, a.scale, lvl)
+                for bi, src in enumerate(group):
+                    out[(src, i)] = _ExtValue(e[:, bi], stacked.scale, lvl)
         return out
+
+    def rotate_same_batched(self, values: list, steps: int):
+        """Rotate several same-shape values by the SAME amount as one batched
+        keyswitch (stack → rotate → unstack) — used for the giant step of the
+        LT engine across destination accumulators."""
+        from ..core.evaluator import stack_cts, unstack_cts
+        if (len(values) == 1
+                or len({v.data.shape for v in values}) != 1
+                or len({round(v.scale) for v in values}) != 1):
+            return [self.rotate(v, steps) for v in values]
+        return unstack_cts(self.rotate(stack_cts(values), steps))
 
     def lt_mask_sum_ext(self, exts: list, masks: list):
         """Σ_t masks[t] ⊙ exts[t] accumulated in the QP basis, then ONE

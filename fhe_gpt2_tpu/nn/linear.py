@@ -153,13 +153,22 @@ def apply_lt(B, plan: BsgsPlan, xs, level_cost_note: str = ""):
         # the NTT-dominated half of a key switch).
         ext = B.lt_hoist_ext(xs, {s: sorted(a) for s, a in needed.items()})
         out = [None] * spec.n_dst
+        batched_giant = hasattr(B, "rotate_same_batched")
         for jg, per_dst in sorted(plan.groups.items()):
+            dsts, accs = [], []
             for dst, terms in per_dst.items():
                 acc = B.lt_mask_sum_ext(
                     [ext[(src, i)] for (i, src, _) in terms],
                     [m for (_, _, m) in terms])
-                if jg:
-                    acc = B.rotate(acc, jg)
+                dsts.append(dst)
+                accs.append(acc)
+            if jg:
+                # One batched keyswitch for every destination's giant step.
+                if batched_giant:
+                    accs = B.rotate_same_batched(accs, jg)
+                else:
+                    accs = [B.rotate(a, jg) for a in accs]
+            for dst, acc in zip(dsts, accs):
                 out[dst] = acc if out[dst] is None else B.add(out[dst], acc)
         return out
     if hasattr(B, "rotate_many"):
