@@ -94,7 +94,9 @@ class CkksContext:
         self._level_tables: dict[tuple, nttmod.NttTables] = {}
         self._galois_perm: dict[int, jnp.ndarray] = {}
         self._drop_last: dict[int, rns.DropLastTables] = {}
-        self._mod_down: dict[int, rns.DropLastTables] = {}
+        self._mod_down: dict[tuple, rns.DropLastTables] = {}
+        self._decomp: dict[int, tuple] = {}
+        self._p_res: dict[int, tuple] = {}
         # Slot index maps (see embedding.py): slot j <-> exponent 5^j mod 2n.
         # Generator 5 (not 3): 5 ≡ 1 (mod 4) makes ζ^(n) = i uniformly over
         # the orbit, which the bootstrap CtS/StC FFT factorization requires.
@@ -154,15 +156,14 @@ class CkksContext:
 
     def decomp_tables(self, level: int):
         """Per-digit base-conversion tables: digit group -> full key basis."""
-        key = ("decomp", level)
-        if key not in self._mod_down:
+        if level not in self._decomp:
             dst = [self.all_moduli[i] for i in self.key_limbs(level)]
             with jax.ensure_compile_time_eval():
-                self._mod_down[key] = tuple(
+                self._decomp[level] = tuple(
                     rns.make_base_conv([self.moduli[i] for i in g], dst)
                     for g in self.digit_groups(level)
                 )
-        return self._mod_down[key]
+        return self._decomp[level]
 
     def drop_last_tables(self, level: int) -> rns.DropLastTables:
         """Rescale tables: divide by q_{level-1}, keep q_0..q_{level-2}."""
@@ -210,8 +211,7 @@ class CkksContext:
         lift a base-Q polynomial into the extended QP basis (multiply by P)
         for double-hoisted rotations.
         """
-        key = ("p_res", level)
-        if key not in self._mod_down:
+        if level not in self._p_res:
             P = math.prod(self.special)
             limbs = self.key_limbs(level)
             r = np.array([P % self.all_moduli[i] for i in limbs],
@@ -221,8 +221,8 @@ class CkksContext:
                  for v, i in zip(r.ravel(), limbs)],
                 dtype=np.uint64).reshape(-1, 1)
             with jax.ensure_compile_time_eval():
-                self._mod_down[key] = (jnp.asarray(r), jnp.asarray(sh))
-        return self._mod_down[key]
+                self._p_res[level] = (jnp.asarray(r), jnp.asarray(sh))
+        return self._p_res[level]
 
     # -- scalar helpers -----------------------------------------------------
 

@@ -286,11 +286,16 @@ class CkksBackend:
             by_amounts.setdefault(tuple(amounts), []).append(src)
         out = {}
         for amounts, group in by_amounts.items():
+            from ..core.evaluator import _scales_close
             cts = [self.ev.mod_switch_to(srcs[s], lvl) for s in group]
-            if len(group) == 1:
-                exts = self.ev.hoisted_rotations_ext(cts[0], list(amounts))
-                for i, e in zip(amounts, exts):
-                    out[(group[0], i)] = _ExtValue(e, cts[0].scale, lvl)
+            uniform = (len({c.data.shape for c in cts}) == 1
+                       and all(_scales_close(c.scale, cts[0].scale)
+                               for c in cts))
+            if len(group) == 1 or not uniform:
+                for src, c in zip(group, cts):
+                    exts = self.ev.hoisted_rotations_ext(c, list(amounts))
+                    for i, e in zip(amounts, exts):
+                        out[(src, i)] = _ExtValue(e, c.scale, lvl)
                 continue
             stacked = stack_cts(cts)
             exts = self.ev.hoisted_rotations_ext(stacked, list(amounts))
@@ -303,10 +308,11 @@ class CkksBackend:
         """Rotate several same-shape values by the SAME amount as one batched
         keyswitch (stack → rotate → unstack) — used for the giant step of the
         LT engine across destination accumulators."""
-        from ..core.evaluator import stack_cts, unstack_cts
+        from ..core.evaluator import stack_cts, unstack_cts, _scales_close
         if (len(values) == 1
                 or len({v.data.shape for v in values}) != 1
-                or len({round(v.scale) for v in values}) != 1):
+                or not all(_scales_close(v.scale, values[0].scale)
+                           for v in values)):
             return [self.rotate(v, steps) for v in values]
         return unstack_cts(self.rotate(stack_cts(values), steps))
 
@@ -320,6 +326,9 @@ class CkksBackend:
         e0 = exts[0]
         lvl = e0.level
         assert all(e.level == lvl for e in exts)
+        from ..core.evaluator import _scales_close
+        assert all(_scales_close(e.scale, e0.scale) for e in exts), \
+            "lt_mask_sum_ext: mixed ext scales would be mis-weighted"
         delta = self.ctx.params.scale
         cs = delta * float(self.ctx.moduli[lvl - 1]) / e0.scale
         pts = jnp.stack([self._plain_ext(m, lvl, cs).data for m in masks])
