@@ -38,10 +38,17 @@ def _setup(args, hamming=192, sparse_slots=0):
     from fhe_gpt2_tpu.core.keys import KeyGenerator
 
     t0 = time.time()
-    params = CkksParams.create(
-        logn=args.logn, log_q0=51, log_scale=46, num_levels=args.levels,
-        log_special=51, num_special=args.nsp, hamming_weight=hamming,
-        sparse_slots=sparse_slots)
+    if args.word == 32:
+        # uint32 engine: native int32 VPU multiplies + Pallas four-step NTT.
+        params = CkksParams.create(
+            logn=args.logn, log_q0=29, log_scale=25, num_levels=args.levels,
+            log_special=31, num_special=args.nsp, hamming_weight=hamming,
+            sparse_slots=sparse_slots)
+    else:
+        params = CkksParams.create(
+            logn=args.logn, log_q0=51, log_scale=46, num_levels=args.levels,
+            log_special=51, num_special=args.nsp, hamming_weight=hamming,
+            sparse_slots=sparse_slots)
     ctx = CkksContext(params)
     kg = KeyGenerator(ctx, seed=1)
     ev = Evaluator(ctx, relin_key=kg.relin_key())
@@ -88,7 +95,8 @@ def bench_mult_relin(args):
 
     baseline_cpu = 8.0
     return {
-        "metric": f"ct_mult_relin_ops_per_s_chip_logN{args.logn}_L{args.levels}",
+        "metric": f"ct_mult_relin_ops_per_s_chip_logN{args.logn}"
+                  f"_L{args.levels}_w{args.word}",
         "value": round(ops_per_s, 3),
         "unit": "ops/s",
         "vs_baseline": round(ops_per_s / baseline_cpu, 2),
@@ -164,6 +172,9 @@ def main():
     ap.add_argument("--sparse-slots", type=int, default=0)
     ap.add_argument("--factors", type=int, default=2,
                     help="CtS/StC FFT factorization depth")
+    ap.add_argument("--word", type=int, default=32, choices=[32, 64],
+                    help="engine word size: 32 = uint32 moduli (TPU-native, "
+                         "~25-bit scale), 64 = uint64 moduli (46-bit scale)")
     ap.add_argument("--metric", default="ct_mult_relin",
                     choices=["ct_mult_relin", "bootstrap"])
     args = ap.parse_args()

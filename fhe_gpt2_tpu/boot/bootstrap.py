@@ -203,7 +203,8 @@ class Bootstrapper:
         t_full = ctx.tables(L)
         q0_img = jnp.asarray(ctx.const_residues(q0, tuple(range(L))))
         raised = _mod_raise_core(ct.data, t_q0, t_full, q0_img,
-                                 jnp.uint64(q0 >> 1))
+                                 jnp.asarray(np.array(q0 >> 1,
+                                                      dtype=ctx.word)))
         ct = Ciphertext(raised, float(q0))
         # SubSum (sparse slots): project onto the subring.
         for s in self.subsum_steps:

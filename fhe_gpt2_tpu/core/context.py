@@ -19,7 +19,7 @@ import jax
 import jax.numpy as jnp
 
 from . import primes, ntt as nttmod, rns
-from .modmath import barrett_ratio, shoup
+from .modmath import barrett_ratio, shoup, word_dtype, word_bits_of
 
 
 @dataclass(frozen=True)
@@ -42,18 +42,33 @@ class CkksParams:
     def slots(self) -> int:
         return self.n // 2
 
+    @property
+    def word_bits(self) -> int:
+        return word_bits_of(word_dtype(list(self.moduli) + list(self.special)))
+
     @staticmethod
     def create(logn: int, log_q0: int, log_scale: int, num_levels: int,
                log_special: int = 0, num_special: int = 1,
-               hamming_weight: int = 0, sparse_slots: int = 0) -> "CkksParams":
+               hamming_weight: int = 0, sparse_slots: int = 0,
+               balanced: bool = True) -> "CkksParams":
         """SEAL-style chain: [q0 (log_q0 bits), num_levels scale primes
         (log_scale bits), special primes (log_special bits, defaults to
-        log_q0)]."""
+        log_q0)].
+
+        With ``balanced`` (default), scale primes alternate above/below
+        2**log_scale so the cumulative prime/scale drift stays minimal —
+        negligible at 46-bit scales, essential for the uint32 engine where
+        NTT-friendly primes near 2**25 are ~2**-8 apart relative.
+        All moduli < 2**31 selects the uint32 engine automatically."""
         n = 1 << logn
         two_n = 2 * n
         log_special = log_special or log_q0
         q0 = primes.gen_primes(log_q0, 1, two_n)
-        scale_primes = primes.gen_primes(log_scale, num_levels, two_n)
+        if balanced:
+            scale_primes = primes.gen_primes_balanced(
+                log_scale, num_levels, two_n, exclude=set(q0))
+        else:
+            scale_primes = primes.gen_primes(log_scale, num_levels, two_n)
         used = set(q0) | set(scale_primes)
         sp = []
         below = None
@@ -89,8 +104,13 @@ class CkksContext:
         self.all_moduli = self.moduli + self.special
         self.L = len(self.moduli)
         self.k_sp = len(self.special)
+        self.word = word_dtype(self.all_moduli)       # np.uint32 / np.uint64
+        self.word_bits = word_bits_of(self.word)
         # NTT tables over every modulus in the system; level slices are views.
-        self.ntt_all = nttmod.make_ntt_tables(self.all_moduli, self.n)
+        # uint32 chains at TPU-size rings also get Pallas four-step tables.
+        self.ntt_all = nttmod.make_ntt_tables(
+            self.all_moduli, self.n,
+            fourstep=(self.word_bits == 32 and self.n >= 2048))
         self._level_tables: dict[tuple, nttmod.NttTables] = {}
         self._galois_perm: dict[int, jnp.ndarray] = {}
         self._drop_last: dict[int, rns.DropLastTables] = {}
@@ -215,11 +235,11 @@ class CkksContext:
             P = math.prod(self.special)
             limbs = self.key_limbs(level)
             r = np.array([P % self.all_moduli[i] for i in limbs],
-                         dtype=np.uint64).reshape(-1, 1)
+                         dtype=self.word).reshape(-1, 1)
             sh = np.array(
-                [shoup(int(v), self.all_moduli[i]) if v else 0
+                [shoup(int(v), self.all_moduli[i], self.word_bits) if v else 0
                  for v, i in zip(r.ravel(), limbs)],
-                dtype=np.uint64).reshape(-1, 1)
+                dtype=self.word).reshape(-1, 1)
             with jax.ensure_compile_time_eval():
                 self._p_res[level] = (jnp.asarray(r), jnp.asarray(sh))
         return self._p_res[level]
@@ -227,9 +247,9 @@ class CkksContext:
     # -- scalar helpers -----------------------------------------------------
 
     def const_residues(self, value: int, limbs: tuple[int, ...]) -> np.ndarray:
-        """[value mod q_i] for a static limb set, as uint64 column."""
+        """[value mod q_i] for a static limb set, as a word-dtype column."""
         return np.array(
-            [value % self.all_moduli[i] for i in limbs], dtype=np.uint64
+            [value % self.all_moduli[i] for i in limbs], dtype=self.word
         ).reshape(-1, 1)
 
 
@@ -239,6 +259,33 @@ def test_params(logn: int = 10, levels: int = 4) -> CkksParams:
     return CkksParams.create(
         logn=logn, log_q0=50, log_scale=40, num_levels=levels,
         log_special=51, hamming_weight=16,
+    )
+
+
+@lru_cache(maxsize=None)
+def test_params_w32(logn: int = 10, levels: int = 6) -> CkksParams:
+    """Small uint32-engine parameter set for fast CPU tests (moduli < 2**31
+    select the 32-bit word automatically). num_special=2 with ~2**31 special
+    primes keeps P >> digit products: measured rotation noise ~3e-5 at scale
+    2**25 vs 5e-4 at a single 2**30 special prime."""
+    return CkksParams.create(
+        logn=logn, log_q0=29, log_scale=25, num_levels=levels,
+        log_special=31, num_special=2, hamming_weight=16,
+    )
+
+
+@lru_cache(maxsize=None)
+def w32_params(logn: int = 15, levels: int = 22, num_special: int = 3,
+               log_scale: int = 25, hamming_weight: int = 192,
+               sparse_slots: int = 0) -> CkksParams:
+    """Production uint32-engine chain: q0 ~2**29 (q0/scale headroom 2**4, the
+    reference's logq0−logp=5-bit margin class), balanced ~2**25 scale primes,
+    ~2**31 special primes. All moduli < 2**31 → TPU-native 32-bit arithmetic
+    (native int32 VPU multiplies; half the HBM traffic of the u64 engine)."""
+    return CkksParams.create(
+        logn=logn, log_q0=29, log_scale=log_scale, num_levels=levels,
+        log_special=31, num_special=num_special,
+        hamming_weight=hamming_weight, sparse_slots=sparse_slots,
     )
 
 

@@ -90,11 +90,11 @@ def encode_to_coeffs(values: np.ndarray, scale: float, ctx) -> np.ndarray:
 
 
 def coeffs_to_rns(coeffs: np.ndarray, ctx, limbs) -> np.ndarray:
-    """Centered int64 coefficients -> uint64 RNS residues [len(limbs), n]."""
-    out = np.zeros((len(limbs), len(coeffs)), dtype=np.uint64)
+    """Centered int64 coefficients -> word-dtype RNS residues [len(limbs), n]."""
+    out = np.zeros((len(limbs), len(coeffs)), dtype=ctx.word)
     for row, li in enumerate(limbs):
         q = ctx.all_moduli[li]
-        out[row] = np.mod(coeffs, np.int64(q)).astype(np.uint64)
+        out[row] = np.mod(coeffs, np.int64(q)).astype(ctx.word)
     return out
 
 
@@ -110,7 +110,7 @@ def encode(values, scale: float, ctx, limbs) -> np.ndarray:
         evals[ctx.slot_to_index] = values * scale
         evals[ctx.conj_slot_to_index] = np.conj(values) * scale
         return native.encode_evals_to_rns(
-            evals, [ctx.all_moduli[i] for i in limbs])
+            evals, [ctx.all_moduli[i] for i in limbs]).astype(ctx.word)
     return coeffs_to_rns(encode_to_coeffs(values, scale, ctx), ctx, limbs)
 
 

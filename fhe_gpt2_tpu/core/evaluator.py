@@ -102,19 +102,24 @@ def _scales_close(a: float, b: float, tol=1e-6):
 # Modular sum with bounded lazy accumulation
 # ---------------------------------------------------------------------------
 
-def mod_sum(x: jnp.ndarray, q, ratio1, axis: int = 0, group: int = 8):
-    """Sum x (entries < q < 2^61) along `axis` mod q.
+def mod_sum(x: jnp.ndarray, q, ratio1, axis: int = 0, group: int = 0):
+    """Sum x (entries < q < 2^(w-2)) along `axis` mod q.
 
-    Accumulates raw u64 within groups of `group` (no overflow for
-    group * q < 2^64) and Barrett-reduces per group, then folds groups.
+    Accumulates raw words within groups of `group` (no overflow while
+    group * q < 2^w, i.e. 8 for u64 moduli < 2^61, 2 for u32 moduli < 2^31)
+    and Barrett-reduces per group, then folds groups with add_mod.
     """
+    from .modmath import lazy_group
+    group = group or lazy_group(x.dtype)
     n = x.shape[axis]
     x = jnp.moveaxis(x, axis, 0)
     pad = (-n) % group
     if pad:
         x = jnp.concatenate([x, jnp.zeros((pad, *x.shape[1:]), x.dtype)])
     x = x.reshape(-1, group, *x.shape[1:])
-    s = barrett_reduce(jnp.sum(x, axis=1), q, ratio1)
+    # dtype= pins the accumulator: jnp.sum would promote uint32 to uint64,
+    # which silently breaks the word-size dispatch inside barrett_reduce.
+    s = barrett_reduce(jnp.sum(x, axis=1, dtype=x.dtype), q, ratio1)
     out = s[0]
     for i in range(1, s.shape[0]):
         out = add_mod(out, s[i], q)
@@ -197,7 +202,8 @@ class Evaluator:
         res = embedding.encode(values, scale, self.ctx, tuple(range(level)))
         t = self.ctx.tables(level)
         with jax.ensure_compile_time_eval():
-            return Plaintext(data=nttmod.ntt(jnp.asarray(res), t), scale=scale)
+            return Plaintext(data=nttmod._ntt_stages(jnp.asarray(res), t),
+                             scale=scale)
 
     def decode_plain(self, pt: Plaintext, num_slots=None) -> np.ndarray:
         t = self.ctx.tables(pt.level)
@@ -434,7 +440,8 @@ class Evaluator:
         res = embedding.encode(values, scale, self.ctx, limbs)
         t = self.ctx.tables(limbs)
         with jax.ensure_compile_time_eval():
-            return Plaintext(data=nttmod.ntt(jnp.asarray(res), t), scale=scale)
+            return Plaintext(data=nttmod._ntt_stages(jnp.asarray(res), t),
+                             scale=scale)
 
     def hoisted_rotations_ext(self, a: Ciphertext,
                               steps: list[int]) -> list[jnp.ndarray]:
@@ -488,16 +495,37 @@ class Evaluator:
 
     # -- reduced-error ops (Kim et al. CT-RSA'22; evaluator.h:1216-1284) ----
 
+    def set_scale_exact(self, a: Ciphertext, target: float) -> Ciphertext:
+        """Re-scale a ciphertext to EXACTLY `target`: multiply by 1.0 encoded
+        at the corrective scale target*q_last/scale, then rescale (costs one
+        level). At uint32-engine scales (~2**25) the primes sit up to ~2**-8
+        off the scale, so the u64-style relabel trick would inject ~0.4%
+        relative error; this lands exactly (reference counterpart: the
+        encode-at-matching-scale reduced-error ops, evaluator.h:1269-1283)."""
+        l = a.level
+        assert l >= 2, "set_scale_exact: out of levels"
+        q_last = self.ctx.moduli[l - 1]
+        cs = target * q_last / a.scale
+        out = self.mul_plain(a, self.make_plain(
+            np.ones(1, dtype=np.float64), cs, l))
+        out = self.rescale(out)
+        return replace(out, scale=float(target))
+
     def _match_scale_for_add(self, a: Ciphertext, b: Ciphertext):
         if _scales_close(a.scale, b.scale):
             return a, replace(b, scale=a.scale)
         if a.scale < b.scale:
-            a, b = b, a
+            b, a = self._match_scale_for_add(b, a)
+            return a, b
         f = a.scale / b.scale
         fi = int(round(f))
-        assert fi >= 1 and abs(f - fi) < 0.5, "scales not integer-matchable"
-        b = self.mul_const_int(b, fi)
-        return a, replace(b, scale=a.scale)
+        if fi >= 1 and abs(f - fi) < 1e-6 * f:
+            b = self.mul_const_int(b, fi)
+            return a, replace(b, scale=a.scale)
+        # Non-integer ratio (prime/scale drift): exact corrective multiply.
+        b = self.set_scale_exact(b, a.scale)
+        a = self.mod_switch_to(a, b.level)
+        return a, b
 
     def add_reduced_error(self, a: Ciphertext, b: Ciphertext) -> Ciphertext:
         l = min(a.level, b.level)
@@ -508,15 +536,12 @@ class Evaluator:
     def sub_reduced_error(self, a: Ciphertext, b: Ciphertext) -> Ciphertext:
         l = min(a.level, b.level)
         a, b = self.mod_switch_to(a, l), self.mod_switch_to(b, l)
-        if _scales_close(a.scale, b.scale):
-            return self.sub(a, replace(b, scale=a.scale))
+        neg = False
         if a.scale < b.scale:
-            f = int(round(b.scale / a.scale))
-            a = replace(self.mul_const_int(a, f), scale=b.scale)
-        else:
-            f = int(round(a.scale / b.scale))
-            b = replace(self.mul_const_int(b, f), scale=a.scale)
-        return self.sub(a, b)
+            a, b, neg = b, a, True
+        a, b = self._match_scale_for_add(a, b)
+        out = self.sub(a, b)
+        return self.negate(out) if neg else out
 
     def multiply_reduced_error(self, a: Ciphertext, b: Ciphertext,
                                relin: bool = True) -> Ciphertext:

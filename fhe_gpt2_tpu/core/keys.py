@@ -22,7 +22,8 @@ import jax.numpy as jnp
 
 from . import ntt as nttmod
 from .context import CkksContext
-from .modmath import add_mod, sub_mod, neg_mod, mul_mod, mul_mod_shoup, shoup
+from .modmath import add_mod, sub_mod, neg_mod, mul_mod, mul_mod_shoup, \
+    shoup, word_dtype, word_bits_of
 
 
 @jax.jit
@@ -55,10 +56,11 @@ def _ksk_assemble_core(b, a, s_src_ntt, p_factor, p_shoup, own_mask, t):
 # ---------------------------------------------------------------------------
 
 def _to_rns(signed: np.ndarray, moduli: list[int]) -> np.ndarray:
-    """Small signed int64 coefficients -> uint64 [L, N] residues."""
-    out = np.zeros((len(moduli), signed.shape[-1]), dtype=np.uint64)
+    """Small signed int64 coefficients -> word-dtype [L, N] residues."""
+    dt = word_dtype(moduli)
+    out = np.zeros((len(moduli), signed.shape[-1]), dtype=dt)
     for i, q in enumerate(moduli):
-        out[i] = np.mod(signed, np.int64(q)).astype(np.uint64)
+        out[i] = np.mod(signed, np.int64(q)).astype(dt)
     return out
 
 
@@ -81,9 +83,10 @@ def sample_gaussian(rng: np.random.Generator, n: int, std: float = 3.2):
 
 
 def sample_uniform_rns(rng: np.random.Generator, n: int, moduli: list[int]):
-    out = np.zeros((len(moduli), n), dtype=np.uint64)
+    dt = word_dtype(moduli)
+    out = np.zeros((len(moduli), n), dtype=dt)
     for i, q in enumerate(moduli):
-        out[i] = rng.integers(0, q, size=n, dtype=np.uint64)
+        out[i] = rng.integers(0, q, size=n, dtype=np.uint64).astype(dt)
     return out
 
 
@@ -191,9 +194,10 @@ class KeyGenerator:
                     ctx.all_moduli) for _ in range(D)])
         b = _rlwe_batch_core(jnp.asarray(a), jnp.asarray(e), self.secret.ntt, t)
         p_factor = np.array([P % q for q in ctx.all_moduli],
-                            dtype=np.uint64).reshape(-1, 1)
-        p_sh = np.array([shoup(P % q, q) for q in ctx.all_moduli],
-                        dtype=np.uint64).reshape(-1, 1)
+                            dtype=ctx.word).reshape(-1, 1)
+        p_sh = np.array(
+            [shoup(P % q, q, ctx.word_bits) for q in ctx.all_moduli],
+            dtype=ctx.word).reshape(-1, 1)
         own = np.zeros((D, n_mod, 1), dtype=bool)
         for j, g in enumerate(ctx.digit_groups(L)):
             own[j, list(g)] = True

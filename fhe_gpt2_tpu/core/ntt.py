@@ -29,7 +29,8 @@ import jax
 import jax.numpy as jnp
 
 from . import primes
-from .modmath import add_mod, sub_mod, mul_mod_shoup, shoup
+from .modmath import add_mod, sub_mod, mul_mod_shoup, shoup, word_dtype, \
+    word_bits_of
 
 
 def bit_reverse(x: int, bits: int) -> int:
@@ -42,7 +43,7 @@ def bit_reverse(x: int, bits: int) -> int:
 
 _TABLE_FIELDS = (
     "q", "ratio0", "ratio1", "roots", "roots_shoup",
-    "inv_roots", "inv_roots_shoup", "n_inv", "n_inv_shoup",
+    "inv_roots", "inv_roots_shoup", "n_inv", "n_inv_shoup", "fs",
 )
 
 
@@ -51,20 +52,23 @@ class NttTables:
     """Per-modulus-set NTT constants, resident on device.
 
     Shapes: moduli/Barrett constants ``[L, 1]`` (broadcast over coefficients),
-    twiddle tables ``[L, N]``.
+    twiddle tables ``[L, N]``. When ``fs`` is set (uint32 contexts at TPU-size
+    rings), the fused Pallas four-step kernel (core/tntt.py) shadows the XLA
+    stage loop; it rides the pytree so jitted programs take it as an argument.
     """
 
     n: int
     logn: int
-    q: jnp.ndarray            # [L, 1] uint64
-    ratio0: jnp.ndarray       # [L, 1] uint64  floor(2^128/q) low word
-    ratio1: jnp.ndarray       # [L, 1] uint64  floor(2^128/q) high word
+    q: jnp.ndarray            # [L, 1] word dtype
+    ratio0: jnp.ndarray       # [L, 1] floor(2^(2w)/q) low word
+    ratio1: jnp.ndarray       # [L, 1] floor(2^(2w)/q) high word
     roots: jnp.ndarray        # [L, N] ψ^{br(i)}
     roots_shoup: jnp.ndarray
     inv_roots: jnp.ndarray    # [L, N] ψ^{-br(i)} table for inverse stages
     inv_roots_shoup: jnp.ndarray
     n_inv: jnp.ndarray        # [L, 1] N^{-1} mod q
     n_inv_shoup: jnp.ndarray
+    fs: object = None         # tntt.FourStep | None (Pallas fast path)
     # Host-side metadata (hashable statics; not traced)
     moduli: tuple = field(default_factory=tuple)
     psi: tuple = field(default_factory=tuple)
@@ -81,12 +85,17 @@ class NttTables:
             with jax.ensure_compile_time_eval():
                 return jnp.asarray(np.asarray(x)[i])
 
+        fs = None
+        if self.fs is not None:
+            from .tntt import slice_fourstep
+            fs = slice_fourstep(self.fs, idx)
         return NttTables(
             n=self.n, logn=self.logn,
             q=s(self.q), ratio0=s(self.ratio0), ratio1=s(self.ratio1),
             roots=s(self.roots), roots_shoup=s(self.roots_shoup),
             inv_roots=s(self.inv_roots), inv_roots_shoup=s(self.inv_roots_shoup),
             n_inv=s(self.n_inv), n_inv_shoup=s(self.n_inv_shoup),
+            fs=fs,
             moduli=tuple(self.moduli[j] for j in idx),
             psi=tuple(self.psi[j] for j in idx),
         )
@@ -105,27 +114,36 @@ def _tables_unflatten(aux, children):
 jax.tree_util.register_pytree_node(NttTables, _tables_flatten, _tables_unflatten)
 
 
-def make_ntt_tables(moduli: list[int], n: int) -> NttTables:
-    """Precompute twiddle tables for each modulus (host, exact Python ints)."""
+def make_ntt_tables(moduli: list[int], n: int,
+                    fourstep: bool = False) -> NttTables:
+    """Precompute twiddle tables for each modulus (host, exact Python ints).
+
+    The word dtype (uint32/uint64) is inferred from the modulus sizes; every
+    downstream op dispatches on it (see core/modmath.py). With ``fourstep``
+    (uint32 chains, N >= 2048), Pallas four-step tables are attached too."""
     logn = n.bit_length() - 1
     assert 1 << logn == n
     L = len(moduli)
-    roots = np.zeros((L, n), dtype=np.uint64)
-    roots_sh = np.zeros((L, n), dtype=np.uint64)
-    inv_roots = np.zeros((L, n), dtype=np.uint64)
-    inv_roots_sh = np.zeros((L, n), dtype=np.uint64)
-    q_arr = np.zeros((L, 1), dtype=np.uint64)
-    r0 = np.zeros((L, 1), dtype=np.uint64)
-    r1 = np.zeros((L, 1), dtype=np.uint64)
-    ninv = np.zeros((L, 1), dtype=np.uint64)
-    ninv_sh = np.zeros((L, 1), dtype=np.uint64)
+    dt = word_dtype(moduli)
+    wb = word_bits_of(dt)
+    roots = np.zeros((L, n), dtype=dt)
+    roots_sh = np.zeros((L, n), dtype=dt)
+    inv_roots = np.zeros((L, n), dtype=dt)
+    inv_roots_sh = np.zeros((L, n), dtype=dt)
+    q_arr = np.zeros((L, 1), dtype=dt)
+    r0 = np.zeros((L, 1), dtype=dt)
+    r1 = np.zeros((L, 1), dtype=dt)
+    ninv = np.zeros((L, 1), dtype=dt)
+    ninv_sh = np.zeros((L, 1), dtype=dt)
     psis = []
     for li, q in enumerate(moduli):
         psi = primes.root_of_unity(2 * n, q)
         psis.append(psi)
         inv_psi = primes.mod_inverse(psi, q)
         q_arr[li, 0] = q
-        lo, hi = (1 << 128) // q & ((1 << 64) - 1), ((1 << 128) // q) >> 64
+        mask = (1 << wb) - 1
+        rat = (1 << (2 * wb)) // q
+        lo, hi = rat & mask, rat >> wb
         r0[li, 0], r1[li, 0] = lo, hi
         # Forward: roots[m+i] = psi^{br(m+i)} over logn bits; roots[0]=1.
         # Inverse: inv_roots indexed the same way with psi^{-1}.
@@ -139,29 +157,56 @@ def make_ntt_tables(moduli: list[int], n: int) -> NttTables:
         for e in range(1, 2 * n):
             inv_pw = inv_pw * inv_psi % q
             inv_powers[e] = inv_pw
-        for i in range(n):
-            e = bit_reverse(i, logn)
-            w = powers[e]
-            roots[li, i] = w
-            roots_sh[li, i] = shoup(w, q)
-            wi = inv_powers[e]
-            inv_roots[li, i] = wi
-            inv_roots_sh[li, i] = shoup(wi, q)
+        br = np.array([bit_reverse(i, logn) for i in range(n)])
+        pw = np.asarray(powers, dtype=object)[br]
+        ipw = np.asarray(inv_powers, dtype=object)[br]
+        roots[li] = pw.astype(dt)
+        roots_sh[li] = ((pw << wb) // q).astype(dt)
+        inv_roots[li] = ipw.astype(dt)
+        inv_roots_sh[li] = ((ipw << wb) // q).astype(dt)
         iv = primes.mod_inverse(n, q)
         ninv[li, 0] = iv
-        ninv_sh[li, 0] = shoup(iv, q)
+        ninv_sh[li, 0] = shoup(iv, q, wb)
+    fs = None
+    if fourstep and dt == np.dtype(np.uint32) and n >= 2048:
+        from .tntt import make_fourstep
+        fs = make_fourstep(moduli, psis, n)
     return NttTables(
         n=n, logn=logn,
         q=jnp.asarray(q_arr), ratio0=jnp.asarray(r0), ratio1=jnp.asarray(r1),
         roots=jnp.asarray(roots), roots_shoup=jnp.asarray(roots_sh),
         inv_roots=jnp.asarray(inv_roots), inv_roots_shoup=jnp.asarray(inv_roots_sh),
         n_inv=jnp.asarray(ninv), n_inv_shoup=jnp.asarray(ninv_sh),
+        fs=fs,
         moduli=tuple(moduli), psi=tuple(psis),
     )
 
 
+def _pallas_mode(t: NttTables):
+    """None (XLA stage loop), "tpu" (Pallas), or "interpret" (Pallas on CPU,
+    for golden tests). Decided at trace time."""
+    import os
+    if t.fs is None or os.environ.get("FHE_PALLAS", "1") == "0":
+        return None
+    if jax.default_backend() == "tpu":
+        return "tpu"
+    if os.environ.get("FHE_PALLAS_INTERPRET") == "1":
+        return "interpret"
+    return None
+
+
 def _ntt(x: jnp.ndarray, t: NttTables) -> jnp.ndarray:
     """Forward negacyclic NTT along the last axis, batched over [..., L, N]."""
+    mode = _pallas_mode(t)
+    if mode:
+        from .tntt import fourstep_ntt
+        return fourstep_ntt(x, t.fs, interpret=mode == "interpret")
+    return _ntt_stages(x, t)
+
+
+def _ntt_stages(x: jnp.ndarray, t: NttTables) -> jnp.ndarray:
+    """XLA stage-loop forward NTT (also the host-boundary path: runs under
+    ensure_compile_time_eval, where a Pallas call cannot execute)."""
     n, logn = t.n, t.logn
     q = t.q  # [L,1] broadcasts against [..., L, m, ...] after reshape below
     for s in range(logn):
@@ -182,6 +227,14 @@ def _ntt(x: jnp.ndarray, t: NttTables) -> jnp.ndarray:
 
 def _intt(x: jnp.ndarray, t: NttTables) -> jnp.ndarray:
     """Inverse negacyclic NTT; returns natural-order coefficients."""
+    mode = _pallas_mode(t)
+    if mode:
+        from .tntt import fourstep_intt
+        return fourstep_intt(x, t.fs, interpret=mode == "interpret")
+    return _intt_stages(x, t)
+
+
+def _intt_stages(x: jnp.ndarray, t: NttTables) -> jnp.ndarray:
     n, logn = t.n, t.logn
     q = t.q
     for s in range(logn - 1, -1, -1):

@@ -60,6 +60,41 @@ def gen_primes(bits: int, count: int, two_n: int, below: int | None = None) -> l
     return out
 
 
+def gen_primes_balanced(log_scale: int, count: int, two_n: int,
+                        exclude: set | None = None) -> list[int]:
+    """`count` NTT-friendly primes alternating just-above/just-below
+    2**log_scale, chosen greedily so the cumulative log2 drift
+    Σ(log2 p_i − log_scale) stays minimal.
+
+    SEAL searches downward only (negligible drift at 46-bit scales); at
+    uint32-engine scales (~2**25) the candidate spacing of 2·two_n is a
+    relative 2**-8, so one-sided selection would drift the tracked scale by
+    ~count·2**-8 — balancing keeps every prefix product within one spacing
+    of 2**(k·log_scale)."""
+    exclude = set(exclude or ())
+    target = 1 << log_scale
+
+    def stream(direction: int):
+        # direction -1: descending below target; +1: ascending above.
+        c = target + 1 if direction > 0 else target - (target % two_n) + 1
+        if direction < 0 and c >= target:
+            c -= two_n
+        while True:
+            if c > two_n and is_prime(c) and c not in exclude:
+                yield c
+            c += direction * two_n
+
+    lo, hi = stream(-1), stream(+1)
+    import math
+    out: list[int] = []
+    drift = 0.0
+    for _ in range(count):
+        p = next(hi) if drift <= 0 else next(lo)
+        out.append(p)
+        drift += math.log2(p) - log_scale
+    return out
+
+
 def primitive_root(p: int) -> int:
     """Smallest generator of (Z/p)*; p must be prime."""
     phi = p - 1

@@ -19,12 +19,12 @@ import jax.numpy as jnp
 from . import primes
 from .modmath import (
     add_mod, sub_mod, mul_mod, mul_mod_shoup, barrett_reduce, barrett_ratio,
-    shoup,
+    shoup, word_dtype, word_bits_of,
 )
 
 
-def _u64col(vals):
-    return jnp.asarray(np.array(vals, dtype=np.uint64).reshape(-1, 1))
+def _wcol(vals, dt):
+    return jnp.asarray(np.array(vals, dtype=dt).reshape(-1, 1))
 
 
 @dataclass(frozen=True)
@@ -62,6 +62,8 @@ _register_table_pytree(BaseConvTables, ("src", "dst"))
 
 
 def make_base_conv(src: list[int], dst: list[int]) -> BaseConvTables:
+    dt = word_dtype(list(src) + list(dst))
+    wb = word_bits_of(dt)
     S = 1
     for s in src:
         S *= s
@@ -72,20 +74,20 @@ def make_base_conv(src: list[int], dst: list[int]) -> BaseConvTables:
         punc = S // s
         iv = primes.mod_inverse(punc % s, s)
         inv_punc.append(iv)
-        inv_punc_sh.append(shoup(iv, s))
-    punc_mod = np.zeros((ks, kd), dtype=np.uint64)
+        inv_punc_sh.append(shoup(iv, s, wb))
+    punc_mod = np.zeros((ks, kd), dtype=dt)
     for i, s in enumerate(src):
         punc = S // s
         for j, d in enumerate(dst):
             punc_mod[i, j] = punc % d
-    r0 = [barrett_ratio(d)[0] for d in dst]
-    r1 = [barrett_ratio(d)[1] for d in dst]
+    r0 = [barrett_ratio(d, wb)[0] for d in dst]
+    r1 = [barrett_ratio(d, wb)[1] for d in dst]
     return BaseConvTables(
         src=tuple(src), dst=tuple(dst),
-        inv_punc=_u64col(inv_punc), inv_punc_shoup=_u64col(inv_punc_sh),
-        src_q=_u64col(src),
+        inv_punc=_wcol(inv_punc, dt), inv_punc_shoup=_wcol(inv_punc_sh, dt),
+        src_q=_wcol(src, dt),
         punc_mod_dst=jnp.asarray(punc_mod),
-        dst_q=_u64col(dst), dst_r0=_u64col(r0), dst_r1=_u64col(r1),
+        dst_q=_wcol(dst, dt), dst_r0=_wcol(r0, dt), dst_r1=_wcol(r1, dt),
     )
 
 
@@ -134,18 +136,22 @@ _register_table_pytree(DropLastTables, ("q_last",))
 
 
 def make_drop_last(remaining: list[int], q_last: int) -> DropLastTables:
+    dt = word_dtype(list(remaining) + [q_last])
+    wb = word_bits_of(dt)
+    jdt = jnp.uint32 if wb == 32 else jnp.uint64
     half = q_last >> 1
     inv = [primes.mod_inverse(q_last % q, q) for q in remaining]
     return DropLastTables(
         q_last=q_last,
-        half=jnp.uint64(half),
-        half_mod=_u64col([half % q for q in remaining]),
-        inv_qlast=_u64col(inv),
-        inv_qlast_shoup=_u64col([shoup(v, q) for v, q in zip(inv, remaining)]),
-        q=_u64col(remaining),
-        r1=_u64col([barrett_ratio(q)[1] for q in remaining]),
-        qlast_q=jnp.uint64(q_last),
-        qlast_r1=jnp.uint64(barrett_ratio(q_last)[1]),
+        half=jdt(half),
+        half_mod=_wcol([half % q for q in remaining], dt),
+        inv_qlast=_wcol(inv, dt),
+        inv_qlast_shoup=_wcol(
+            [shoup(v, q, wb) for v, q in zip(inv, remaining)], dt),
+        q=_wcol(remaining, dt),
+        r1=_wcol([barrett_ratio(q, wb)[1] for q in remaining], dt),
+        qlast_q=jdt(q_last),
+        qlast_r1=jdt(barrett_ratio(q_last, wb)[1]),
     )
 
 

@@ -46,7 +46,8 @@ def _unpack(blob: bytes) -> tuple[dict, bytes]:
 
 def dump_ciphertext(ct: Ciphertext) -> bytes:
     arr = np.asarray(ct.data)
-    return _pack({"kind": "ct", "scale": ct.scale, "shape": list(arr.shape)},
+    return _pack({"kind": "ct", "scale": ct.scale, "shape": list(arr.shape),
+                  "dtype": arr.dtype.name},
                  arr.tobytes())
 
 
@@ -54,21 +55,23 @@ def load_ciphertext(blob: bytes) -> Ciphertext:
     import jax.numpy as jnp
     h, payload = _unpack(blob)
     assert h["kind"] == "ct"
-    arr = np.frombuffer(payload, dtype=np.uint64).reshape(h["shape"])
+    arr = np.frombuffer(payload, dtype=h.get("dtype", "uint64")).reshape(
+        h["shape"])
     return Ciphertext(jnp.asarray(arr), h["scale"])
 
 
 def dump_kswitch_key(k: KSwitchKey) -> bytes:
     arr = np.asarray(k.data)
-    return _pack({"kind": "ksk", "shape": list(arr.shape)}, arr.tobytes())
+    return _pack({"kind": "ksk", "shape": list(arr.shape),
+                  "dtype": arr.dtype.name}, arr.tobytes())
 
 
 def load_kswitch_key(blob: bytes) -> KSwitchKey:
     import jax.numpy as jnp
     h, payload = _unpack(blob)
     assert h["kind"] == "ksk"
-    return KSwitchKey(jnp.asarray(
-        np.frombuffer(payload, dtype=np.uint64).reshape(h["shape"])))
+    return KSwitchKey(jnp.asarray(np.frombuffer(
+        payload, dtype=h.get("dtype", "uint64")).reshape(h["shape"])))
 
 
 def dump_galois_keys(gk: GaloisKeys) -> bytes:
