@@ -75,15 +75,34 @@ def _cheb_vals(k: int, t):
     return vals
 
 
+def _cheb_eval_np(coeffs: np.ndarray, lo: float, hi: float,
+                  x: np.ndarray) -> np.ndarray:
+    """Vectorized float64 Clenshaw (scan-phase evaluation)."""
+    t = (2.0 * x - hi - lo) / (hi - lo)
+    b1 = np.zeros_like(t)
+    b2 = np.zeros_like(t)
+    for c in coeffs[:0:-1]:
+        b1, b2 = 2.0 * t * b1 - b2 + float(c), b1
+    return t * b1 - b2 + float(coeffs[0])
+
+
 def remez(func, intervals, degree: int, odd: bool = False,
           prec_dps: int = 120, max_iter: int = 60, scan: int = 3000,
-          tol=None, hull=None):
+          tol=None, hull=None, func_np=None):
     """Minimax polynomial approximation of `func` over a union of intervals.
 
     intervals: list of (lo, hi) pairs (floats or mpf), ascending, disjoint.
     odd: restrict to odd Chebyshev terms (T_1, T_3, ...) — used for sign-type
     targets; intervals should then cover only the positive side, oddness
     extends to the mirror image.
+
+    func_np: optional numpy-vectorized version of `func`. When given, the
+    extreme-search scan (the cost center: tens of thousands of evaluations
+    per iteration) runs in float64 — the reference fans this phase out over
+    std::thread (Remez.cpp:376-396); here it vectorizes — while the solve on
+    the ~degree reference points stays at mpf precision. Located extrema are
+    accurate to the scan grid, which equioscillates the error to ~1e-6
+    relative: far below any approximation error this framework consumes.
 
     Returns (ChebPoly over the hull [lo_min, hi_max] — odd polys use the
     symmetric hull [-hi_max, hi_max] — and the max error achieved).
@@ -147,39 +166,74 @@ def remez(func, intervals, degree: int, odd: bool = False,
             poly = ChebPoly(full, hull_lo, hull_hi)
 
             # Find extrema of the error by dense scan + local refinement.
-            cand = []
-            for a, b in ivs:
-                xs = [a + (b - a) * i / scan for i in range(scan + 1)]
-                es = [func(x) - poly(x) for x in xs]
-                for i in range(len(xs)):
-                    if i == 0 or i == len(xs) - 1 or \
-                       (es[i] - es[i - 1]) * (es[i + 1] - es[i]) <= 0:
-                        cand.append((xs[i], es[i]))
-            # Keep alternating-sign extrema of maximal magnitude.
-            picked = []
-            for x, e in cand:
-                if not picked:
-                    picked.append((x, e))
-                elif (e > 0) == (picked[-1][1] > 0):
-                    if abs(e) > abs(picked[-1][1]):
-                        picked[-1] = (x, e)
-                else:
-                    picked.append((x, e))
-            # Need exactly npts alternating points: drop smallest from ends.
-            while len(picked) > npts:
-                if abs(picked[0][1]) < abs(picked[-1][1]):
-                    picked.pop(0)
-                else:
-                    picked.pop()
+            def pick_alternating(cand):
+                """Alternating-sign extrema of maximal magnitude, trimmed
+                to npts from the smaller-magnitude end."""
+                picked = []
+                for x, e in cand:
+                    if not picked:
+                        picked.append((x, e))
+                    elif (e > 0) == (picked[-1][1] > 0):
+                        if abs(e) > abs(picked[-1][1]):
+                            picked[-1] = (x, e)
+                    else:
+                        picked.append((x, e))
+                while len(picked) > npts:
+                    if abs(picked[0][1]) < abs(picked[-1][1]):
+                        picked.pop(0)
+                    else:
+                        picked.pop()
+                return picked
+
+            def scan_mpf():
+                cand = []
+                for a, b in ivs:
+                    xs = [a + (b - a) * i / scan for i in range(scan + 1)]
+                    es = [func(x) - poly(x) for x in xs]
+                    for i in range(len(xs)):
+                        if i == 0 or i == len(xs) - 1 or \
+                           (es[i] - es[i - 1]) * (es[i + 1] - es[i]) <= 0:
+                            cand.append((xs[i], es[i]))
+                return cand
+
+            picked = None
+            used_np = False
+            if func_np is not None:
+                fc = to_float_coeffs(poly)
+                flo, fhi = float(hull_lo), float(hull_hi)
+                # Anything below the float64 evaluation noise of the error
+                # curve is rounding chatter, not an extremum; letting it into
+                # the alternation pick floods the exchange with noise points
+                # in intervals where the fit is locally far better than
+                # elsewhere (observed: middle intervals of the bootstrap
+                # cosine), which degenerates the reference set.
+                noise = 1e-13 * max(1.0, float(np.abs(fc).sum()))
+                cand = []
+                for a, b in ivs:
+                    xs = np.linspace(float(a), float(b), scan + 1)
+                    es = np.asarray(func_np(xs), dtype=np.float64) \
+                        - _cheb_eval_np(fc, flo, fhi, xs)
+                    d = np.diff(es)
+                    turn = np.nonzero(d[:-1] * d[1:] <= 0)[0] + 1
+                    idx = np.unique(np.concatenate(([0], turn,
+                                                    [len(xs) - 1])))
+                    keep = idx[np.abs(es[idx]) >= noise]
+                    for i in keep:
+                        cand.append((mpf(float(xs[i])), mpf(float(es[i]))))
+                picked = pick_alternating(cand)
+                used_np = len(picked) >= npts
+                if not used_np:
+                    picked = None   # below float64 resolution: mpf rescan
+            if picked is None:
+                picked = pick_alternating(scan_mpf())
             if len(picked) < npts:
                 break  # converged/degenerate; keep current poly
-            new_pts = [x for x, _ in picked]
+            pts = [x for x, _ in picked]
             emax = max(abs(e) for _, e in picked)
             emin = min(abs(e) for _, e in picked)
-            pts = new_pts
-            if tol is None:
-                tol = mpf(10) ** (-(prec_dps // 2))
-            if emax - emin < tol * emax:
+            iter_tol = tol if tol is not None else (
+                mpf("1e-6") if used_np else mpf(10) ** (-(prec_dps // 2)))
+            if emax - emin < iter_tol * emax:
                 err = emax
                 break
         return poly, err

@@ -85,17 +85,41 @@ class EvalModPoly:
 
 def make_evalmod(K: int = 12, eps: float = 2 ** -8, degree: int = 30,
                  num_double: int = 2, arcsin_degree: int = 3,
-                 prec_dps: int = 80) -> EvalModPoly:
+                 prec_dps: int = 80, use_cache: bool = True) -> EvalModPoly:
     """Remez cosine over ∪_{i=-K..K} [i-eps, i+eps], then double-angle and
-    arcsin correction (RemezCos/RemezArcsin + ModularReducer pipeline)."""
+    arcsin correction (RemezCos/RemezArcsin + ModularReducer pipeline).
+
+    Tables are disk-cached under approx/_cache — the counterpart of the
+    reference's checked-in cosine.txt/inverse_sine.txt heaps
+    (ModularReducer::write_polynomials, ModularReducer.cpp:53-59)."""
+    import json
+    import os
     sf = 1 << num_double
+    cache = os.path.join(os.path.dirname(__file__), "..", "approx", "_cache",
+                         f"evalmod_K{K}_e{eps:.3e}_d{degree}_nd{num_double}"
+                         f"_a{arcsin_degree}_p{prec_dps}.json")
+    if use_cache and os.path.exists(cache):
+        with open(cache) as f:
+            d = json.load(f)
+        cos_plan = make_plan(np.array(d["cos"]), d["cos_lo"], d["cos_hi"])
+        arcsin_coeffs = None
+        arcsin_plan = None
+        if d.get("arcsin"):
+            arcsin_coeffs = (np.array(d["arcsin"]), d["as_lo"], d["as_hi"])
+            arcsin_plan = make_plan(*arcsin_coeffs)
+        return EvalModPoly(cos_plan=cos_plan, num_double=num_double,
+                           arcsin_plan=arcsin_plan, K=K, eps=eps,
+                           arcsin_coeffs=arcsin_coeffs)
     intervals = [(mpf(i) - eps, mpf(i) + eps) for i in range(-K, K + 1)]
 
     def target(x):
         return cos(2 * mp_pi * (x - mpf("0.25")) / sf)
 
+    def target_np(x):
+        return np.cos(2 * np.pi * (np.asarray(x) - 0.25) / sf)
+
     poly, err = remez(target, intervals, degree, prec_dps=prec_dps,
-                      scan=400)
+                      scan=400, func_np=target_np)
     cos_plan = make_plan(to_float_coeffs(poly), float(poly.lo), float(poly.hi))
     arcsin_plan = None
     if arcsin_degree > 1:
@@ -104,11 +128,21 @@ def make_evalmod(K: int = 12, eps: float = 2 ** -8, degree: int = 30,
         bound = min(0.99, 2 * math.pi * eps * 1.5)
         ap, _ = remez(lambda t: mp_asin(t) / (2 * mp_pi),
                       [(mpf(bound) / 1000, mpf(bound))], arcsin_degree,
-                      odd=True, prec_dps=prec_dps, scan=600)
+                      odd=True, prec_dps=prec_dps, scan=600,
+                      func_np=lambda t: np.arcsin(np.asarray(t)) / (2 * np.pi))
         arcsin_plan = make_plan(to_float_coeffs(ap), float(ap.lo), float(ap.hi))
         arcsin_coeffs = (to_float_coeffs(ap), float(ap.lo), float(ap.hi))
     else:
         arcsin_coeffs = None
+    if use_cache:
+        d = {"cos": [float(c) for c in to_float_coeffs(poly)],
+             "cos_lo": float(poly.lo), "cos_hi": float(poly.hi),
+             "err": float(err)}
+        if arcsin_coeffs is not None:
+            d["arcsin"] = [float(c) for c in arcsin_coeffs[0]]
+            d["as_lo"], d["as_hi"] = arcsin_coeffs[1], arcsin_coeffs[2]
+        with open(cache, "w") as f:
+            json.dump(d, f)
     return EvalModPoly(cos_plan=cos_plan, num_double=num_double,
                        arcsin_plan=arcsin_plan, K=K, eps=eps,
                        arcsin_coeffs=arcsin_coeffs)

@@ -80,6 +80,23 @@ class PlainBackend:
     def conjugate(self, a):
         return np.conj(a) if np.iscomplexobj(a) else a
 
+    # -- batch-axis ops (values may carry leading batch dims; every
+    #    arithmetic op above broadcasts over them) ---------------------------
+    def stack(self, values: list):
+        """Stack same-shape values along a NEW leading batch axis."""
+        return np.stack(values)
+
+    def unstack(self, a) -> list:
+        return [a[i] for i in range(a.shape[0])]
+
+    def take_batch(self, a, idx: tuple):
+        """Advanced-index the leading batch axes (gather)."""
+        return a[idx]
+
+    def reduce_sum_batch(self, a, axis: int = 0):
+        """Sum over one batch axis (additions only — no level/scale cost)."""
+        return a.sum(axis=axis)
+
     # -- level management (no-ops in plaintext) -----------------------------
     def level(self, a) -> int:
         return 1 << 30
@@ -161,7 +178,19 @@ class CkksBackend:
         key = ("q", id(v), level, scale)
         out = self._plain_cache.get(key)
         if out is None:
-            out = self.ev.make_plain(np.asarray(v).ravel(), scale, level)
+            v = np.asarray(v)
+            if v.ndim > 1 and v.shape[-1] == self.slots:
+                # Batched mask [batch..., slots]: encode each row, stack the
+                # NTT-form limbs into [batch..., l, N] — one Plaintext whose
+                # batch dims broadcast against a batched ciphertext.
+                import jax.numpy as jnp
+                rows = v.reshape(-1, self.slots)
+                pts = [self.ev.make_plain(r, scale, level) for r in rows]
+                data = jnp.stack([p.data for p in pts]).reshape(
+                    *v.shape[:-1], *pts[0].data.shape)
+                out = Plaintext(data=data, scale=scale)
+            else:
+                out = self.ev.make_plain(v.ravel(), scale, level)
             self._plain_cache[key] = out
         return out
 
@@ -264,6 +293,27 @@ class CkksBackend:
 
     def conjugate(self, a):
         return self.ev.conjugate(a)
+
+    # -- batch-axis ops -----------------------------------------------------
+    def stack(self, values: list):
+        from ..core.evaluator import stack_cts
+        vals = [self._ab(v) for v in values]
+        lvl = min(v.level for v in vals)
+        return stack_cts([self.ev.mod_switch_to(v, lvl) for v in vals])
+
+    def unstack(self, a) -> list:
+        from ..core.evaluator import unstack_cts
+        return unstack_cts(a)
+
+    def take_batch(self, a, idx: tuple):
+        """Gather over the batch axes (component axis 0 untouched)."""
+        return Ciphertext(a.data[(slice(None),) + tuple(idx)], a.scale)
+
+    def reduce_sum_batch(self, a, axis: int = 0):
+        from ..core.evaluator import mod_sum
+        t = self.ctx.tables(a.level)
+        return Ciphertext(
+            mod_sum(a.data, t.q, t.ratio1, axis=1 + axis), a.scale)
 
     # -- double-hoisted LT path (Bossuat et al.; see evaluator
     #    hoisted_rotations_ext). The LT engine uses these when present. ------

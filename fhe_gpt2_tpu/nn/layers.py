@@ -76,7 +76,9 @@ class AttnPlans:
     kb: np.ndarray
     vb: np.ndarray
     ob: np.ndarray
-    causal_zero: list        # per-Δ 0/1 mask (valid targets) [n_cts? slots]
+    causal_zero: np.ndarray  # per-Δ 0/1 valid-target mask [S, n_cts, slots]
+    keep_row: np.ndarray     # per-Δ in-ct row-shift keep mask [S, 1, slots]
+    spill_row: np.ndarray    # per-Δ next-ct spill mask [S, 1, slots]
     seg_starts: np.ndarray   # mask selecting slot r·st + h·dh (segment starts)
     exp_r: int = 5
     inv_iters: int = 9
@@ -85,6 +87,27 @@ class AttnPlans:
     # (1−d₀)^(2^iters), so d₀ ≪ 2^-iters never converges. Choose per model
     # from the expected row-sum range of exp(scores−γ).
     inv_prescale: float = 1.0
+    # Real-max softmax path (compute_softmax, PolyApprox.cpp:533): sign plans
+    # for the approx-max tree and the score bound it normalizes by. Scores
+    # must lie in ±max_bound, and max_bound ≤ 2^exp_r (else exp diverges on
+    # masked −max_bound−m arguments).
+    sign: Optional[object] = None
+    max_bound: float = 8.0
+    _chunks: dict = field(default_factory=dict, repr=False)
+
+    def chunk_arrays(self, lo: int, hi: int) -> tuple:
+        """Memoized per-chunk host mask slices (stable identities so the
+        backend's encoding cache keys by id() across jit traces)."""
+        key = (lo, hi, self.max_bound)
+        out = self._chunks.get(key)
+        if out is None:
+            causal = np.ascontiguousarray(self.causal_zero[lo:hi])
+            out = (np.ascontiguousarray(self.keep_row[lo:hi]),
+                   np.ascontiguousarray(self.spill_row[lo:hi]),
+                   causal,
+                   (causal - 1.0) * self.max_bound)
+            self._chunks[key] = out
+        return out
 
 
 @dataclass
@@ -139,11 +162,21 @@ def build_attn_plans(sh: GPT2Shapes, wq, bq, wk, bk, wv, bv, wo, bo,
     plans = {k: v.bsgs_plan(giant) for k, v in specs.items()}
     # Per-Δ causal masks in diagonal form: Δ ct covers (r -> target r+Δ mod S);
     # valid iff (r+Δ) mod S <= r. Mask is per-row, replicated across columns.
-    causal = []
+    causal = np.stack([
+        sh.act.pack(np.repeat(
+            ((((np.arange(sh.seq) + dlt) % sh.seq) <= np.arange(sh.seq))
+             )[:, None], sh.hidden, axis=1).astype(float))
+        for dlt in range(sh.seq)])                     # [S, n_cts, slots]
+    # Row-shift masks: Δ = cs·rpc + rr pulls row r+rr from the same ct (keep)
+    # and the wrapped rows from the next ct (spill). rr=0 → keep all.
+    st, rpc = sh.stride, sh.act.rows_per_ct
+    keep = np.zeros((sh.seq, 1, sh.slots))
+    spill = np.zeros((sh.seq, 1, sh.slots))
     for dlt in range(sh.seq):
-        row_ok = ((np.arange(sh.seq) + dlt) % sh.seq) <= np.arange(sh.seq)
-        causal.append(sh.act.pack(
-            np.repeat(row_ok[:, None], sh.hidden, axis=1).astype(float)))
+        rr = dlt % rpc
+        keep[dlt, 0, : (rpc - rr) * st] = 1.0
+        if rr:
+            spill[dlt, 0, (rpc - rr) * st:] = 1.0
     seg = np.zeros((sh.act.n_cts, sh.slots))
     r, h = np.meshgrid(np.arange(sh.seq), np.arange(sh.heads), indexing="ij")
     ct, sl = sh.act.place(r.ravel(), (h * sh.dh).ravel())
@@ -152,7 +185,8 @@ def build_attn_plans(sh: GPT2Shapes, wq, bq, wk, bk, wv, bv, wo, bo,
         q=plans["q"], k=plans["k"], v=plans["v"], o=plans["o"],
         qb=expand_row_vector(sh, np.asarray(bq) * scale),
         kb=expand_row_vector(sh, bk), vb=expand_row_vector(sh, bv),
-        ob=expand_row_vector(sh, bo), causal_zero=causal, seg_starts=seg)
+        ob=expand_row_vector(sh, bo), causal_zero=causal,
+        keep_row=keep, spill_row=spill, seg_starts=seg)
 
 
 def build_mlp_plans(sh: GPT2Shapes, w1, b1, w2, b2,
@@ -204,96 +238,144 @@ def layer_norm(B, xs, sh: GPT2Shapes, ln: LnPlans):
     return out
 
 
-def _segment_scores(B, prod, sh: GPT2Shapes, seg_mask):
-    """Fold a Q⊙rot(K) product into per-segment (head) sums replicated across
-    each dh-wide segment."""
-    s = K.fold_sum(B, prod, sh.dh)                   # correct at segment starts
-    s = B.mul_plain(s, seg_mask)
-    return K.replicate(B, s, 1, sh.dh)               # broadcast within segment
+def _row_shift_stacks(B, x, sh: GPT2Shapes):
+    """All in-ct row shifts of a [n_cts]-batched value as two stacked values.
+
+    pos[r] = rot(x, r·st) for r in [0, rpc)   (hoisted: ONE decomposition)
+    neg[r] = rot(x, −(rpc−r)·st) for r in [1, rpc); slot r=0 is a dummy
+    (masked to zero at assembly). Returns (Pos [rpc, n], Neg [rpc, n]).
+    """
+    st, rpc = sh.stride, sh.act.rows_per_ct
+    pos = B.rotate_many(x, [r * st for r in range(rpc)])
+    if rpc > 1:
+        neg = [pos[0]] + B.rotate_many(
+            x, [-(rpc - r) * st for r in range(1, rpc)])
+    else:
+        neg = [pos[0]]
+    return B.stack(pos), B.stack(neg)
+
+
+def _gather_deltas(B, ap: AttnPlans, sh: GPT2Shapes, pos, neg, n: int,
+                   lo: int, hi: int):
+    """Assemble the Δ-batched row shifts for Δ ∈ [lo, hi):
+    out[Δ, i] = keep_Δ ⊙ pos[rr(Δ), (i+cs(Δ)) % n]
+              + spill_Δ ⊙ neg[rr(Δ), (i+cs(Δ)+1) % n]."""
+    rpc = sh.act.rows_per_ct
+    ds = np.arange(lo, hi)
+    cs, rr = np.divmod(ds, rpc)
+    ct_idx = (np.arange(n)[None, :] + cs[:, None]) % n          # [C, n]
+    r_idx = np.broadcast_to(rr[:, None], ct_idx.shape)
+    keep, spill, _, _ = ap.chunk_arrays(lo, hi)
+    a = B.take_batch(pos, (r_idx, ct_idx))
+    b = B.take_batch(neg, (r_idx, (ct_idx + 1) % n))
+    return B.add(B.mul_plain(a, keep), B.mul_plain(b, spill))
+
+
+def _max_over_batch(B, x, size: int, sp, bound: float):
+    """Approx-max tree-reduce over the leading batch axis (quickMax over Δ).
+
+    `bound` bounds the VALUES (±bound); pairwise differences span ±2·bound,
+    which is what the sign composite normalizes by (computeMax semantics,
+    Fold.cpp:60-80)."""
+    if size == 1:
+        return B.take_batch(x, (0,))
+    half = size // 2
+    a = B.take_batch(x, (np.arange(half),))
+    b = B.take_batch(x, (np.arange(half, 2 * half),))
+    m = _max_over_batch(B, K.approx_max(B, a, b, sp, 2 * bound),
+                        half, sp, bound)
+    if size % 2:
+        m = K.approx_max(B, m, B.take_batch(x, (size - 1,)), sp, 2 * bound)
+    return m
 
 
 def attention(B, xs, sh: GPT2Shapes, ap: AttnPlans, softmax: str = "smax",
-              smax_gamma: Optional[float] = None):
-    """Diagonal-form multi-head attention (see module docstring).
+              smax_gamma: Optional[float] = None, delta_chunk: int = 0,
+              kv: Optional[tuple] = None):
+    """Diagonal-form multi-head attention (see module docstring), batched
+    over the Δ (diagonal) axis: all per-Δ work — row shifts, Q⊙K products,
+    segment folds, exp, masking, S·V accumulation — runs on the ciphertext
+    batch axis as single dispatches instead of Python loops over cts.
 
     softmax="smax" subtracts the constant `smax_gamma` (the reference's
-    ConsMax optimization, PolyApprox.cpp:595 / ApproxSoftmax); "max" computes
-    the real row max with the approx-max tree (needs sign plans attached to
-    B via ap — not yet wired, smax is the default path).
+    ConsMax optimization, PolyApprox.cpp:595 / ApproxSoftmax). "max" is the
+    reference's real softmax (compute_softmax, PolyApprox.cpp:533-593):
+    masked scores → approx-max tree over Δ (quickMax) → subtract → exp →
+    re-mask → sum → Goldschmidt inverse. Requires `ap.sign` plans; scores
+    must lie within ±ap.max_bound.
+
+    delta_chunk bounds how many Δ diagonals are materialized at once
+    (memory control at production shapes); 0 = all S at once.
+
+    kv: optional (k_list, v_list) of already-projected K/V activation cts —
+    the KV-cache decode path (optimize.cpp / layers.cpp:44-50): the caller
+    projects and cache-augments K/V itself and attention only projects Q.
     """
     smax_gamma = ap.smax_gamma if smax_gamma is None else smax_gamma
-    q = _apply_matmul(B, ap.q, xs, ap.qb)
-    k = _apply_matmul(B, ap.k, xs, ap.kb)
-    v = _apply_matmul(B, ap.v, xs, ap.vb)
-    n_cts = len(q)
-    st = sh.stride
+    q = B.stack(_apply_matmul(B, ap.q, xs, ap.qb))
+    if kv is None:
+        k = B.stack(_apply_matmul(B, ap.k, xs, ap.kb))
+        v = B.stack(_apply_matmul(B, ap.v, xs, ap.vb))
+    else:
+        k, v = B.stack(kv[0]), B.stack(kv[1])
+    n = len(xs)
+    S, rpc = sh.seq, sh.act.rows_per_ct
+    assert n * rpc == S, "diagonal attention needs seq == n_cts·rows_per_ct"
+    kpos, kneg = _row_shift_stacks(B, k, sh)
+    chunk = delta_chunk or S
+    bounds = [(lo, min(lo + chunk, S)) for lo in range(0, S, chunk)]
 
-    # Scores in diagonal form. Rotation by Δ·st crosses ct boundaries when
-    # n_cts > 1: rotating the ct *list* handles whole-ct shifts, the in-ct
-    # rotation handles the remainder.
-    rows_per_ct = sh.act.rows_per_ct
-    exps = []      # per Δ: list of n_cts cts, exp(scores−γ)·mask, replicated
-    for dlt in range(sh.seq):
-        ct_shift, r_rem = divmod(dlt, rows_per_ct)
-        k_rot = [k[(i + ct_shift) % n_cts] for i in range(n_cts)]
-        if r_rem or ct_shift:
-            # Row r+Δ sits r_rem rows deeper (+1 ct roll handled above); the
-            # in-ct part is a rotation by r_rem·st. Rows that wrap pull from
-            # the next ct — handled by compensating masks on the two parts.
-            k_rot = _shift_rows(B, k_rot, r_rem, sh)
-        e_d = []
-        for i in range(n_cts):
-            prod = B.mul(q[i], k_rot[i])
-            sc = _segment_scores(B, prod, sh, ap.seg_starts[i])
-            if softmax == "smax":
-                sc = B.add_const(sc, -smax_gamma)
-            e = K.exp(B, sc, r=ap.exp_r)
-            e = B.mul_plain(e, ap.causal_zero[dlt][i])
-            e_d.append(e)
-        exps.append(e_d)
+    def scores_chunk(lo, hi):
+        kd = _gather_deltas(B, ap, sh, kpos, kneg, n, lo, hi)
+        prod = B.mul(q, kd)
+        s = K.fold_sum(B, prod, sh.dh)          # correct at segment starts
+        s = B.mul_plain(s, ap.seg_starts)
+        return K.replicate(B, s, 1, sh.dh)      # broadcast within segment
 
-    # Row-wise denominator: reduce across Δ (no rotations).
-    denom = [None] * n_cts
-    for e_d in exps:
-        for i in range(n_cts):
-            denom[i] = e_d[i] if denom[i] is None else B.add(denom[i], e_d[i])
-    inv = [K.goldschmidt_inverse(
-        B, B.add_const(B.mul_const(d_, 0.0), ap.inv_prescale),
-        B.mul_const(d_, ap.inv_prescale), ap.inv_iters) for d_ in denom]
+    exps = []          # per chunk: [C, n] batched exp(score−sub)·mask
+    denom = None
+    if softmax == "max":
+        assert ap.sign is not None, "softmax='max' needs ap.sign plans"
+        scs, m = [], None
+        for lo, hi in bounds:
+            _, _, causal, negfill = ap.chunk_arrays(lo, hi)
+            # Invalid targets pinned to −max_bound so they never win the max.
+            s = B.add_plain(B.mul_plain(scores_chunk(lo, hi), causal),
+                            negfill)
+            scs.append(s)
+            cm = _max_over_batch(B, s, hi - lo, ap.sign, ap.max_bound)
+            m = cm if m is None else K.approx_max(B, m, cm, ap.sign,
+                                                  2 * ap.max_bound)
+        for (lo, hi), s in zip(bounds, scs):
+            _, _, causal, _ = ap.chunk_arrays(lo, hi)
+            e = K.exp(B, B.sub(s, m), r=ap.exp_r)
+            e = B.mul_plain(e, causal)
+            exps.append(e)
+            part = B.reduce_sum_batch(e, 0)
+            denom = part if denom is None else B.add(denom, part)
+    else:
+        for lo, hi in bounds:
+            _, _, causal, _ = ap.chunk_arrays(lo, hi)
+            sc = B.add_const(scores_chunk(lo, hi), -smax_gamma)
+            e = B.mul_plain(K.exp(B, sc, r=ap.exp_r), causal)
+            exps.append(e)
+            part = B.reduce_sum_batch(e, 0)
+            denom = part if denom is None else B.add(denom, part)
 
-    # S·V: out = Σ_Δ attnw_Δ ⊙ rot(V, Δ·st).
-    out = [None] * n_cts
-    for dlt in range(sh.seq):
-        ct_shift, r_rem = divmod(dlt, rows_per_ct)
-        v_rot = [v[(i + ct_shift) % n_cts] for i in range(n_cts)]
-        if r_rem or ct_shift:
-            v_rot = _shift_rows(B, v_rot, r_rem, sh)
-        for i in range(n_cts):
-            w_ = B.mul(exps[dlt][i], inv[i])
-            t = B.mul(w_, v_rot[i])
-            out[i] = t if out[i] is None else B.add(out[i], t)
+    inv = K.goldschmidt_inverse(
+        B, B.add_const(B.mul_const(denom, 0.0), ap.inv_prescale),
+        B.mul_const(denom, ap.inv_prescale), ap.inv_iters)
 
-    return _apply_matmul(B, ap.o, out, ap.ob)
+    # S·V: out = Σ_Δ (e_Δ ⊙ inv) ⊙ rot(V, Δ·st), reduced over the Δ axis.
+    vpos, vneg = _row_shift_stacks(B, v, sh)
+    out = None
+    for (lo, hi), e in zip(bounds, exps):
+        vd = _gather_deltas(B, ap, sh, vpos, vneg, n, lo, hi)
+        w_ = B.mul(e, inv)
+        part = B.reduce_sum_batch(B.mul(w_, vd), 0)
+        out = part if out is None else B.add(out, part)
 
-
-def _shift_rows(B, cts, r_rem: int, sh: GPT2Shapes):
-    """Shift the logical row index by r_rem across a ct list (row r of output
-    = row r+r_rem of input, wrapping through the next ct)."""
-    if r_rem == 0:
-        return cts
-    st = sh.stride
-    n = len(cts)
-    rpc = sh.act.rows_per_ct
-    keep = np.zeros(sh.slots)
-    keep[: (rpc - r_rem) * st] = 1.0
-    spill = np.zeros(sh.slots)
-    spill[(rpc - r_rem) * st:] = 1.0
-    out = []
-    for i in range(n):
-        a = B.mul_plain(B.rotate(cts[i], r_rem * st), keep)
-        b = B.mul_plain(B.rotate(cts[(i + 1) % n], -(rpc - r_rem) * st), spill)
-        out.append(B.add(a, b))
-    return out
+    return _apply_matmul(B, ap.o, B.unstack(out), ap.ob)
 
 
 def mlp(B, xs, sh: GPT2Shapes, mp: MlpPlans):

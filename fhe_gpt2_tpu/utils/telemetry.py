@@ -17,8 +17,8 @@ from dataclasses import dataclass, field
 
 _TRACKED = (
     "add", "sub", "neg", "mul", "square", "mul_plain", "add_plain",
-    "add_const", "mul_const", "rotate", "conjugate", "rescale", "bootstrap",
-    "maybe_bootstrap",
+    "add_const", "mul_const", "rotate", "rotate_many", "conjugate", "rescale",
+    "bootstrap", "maybe_bootstrap", "stack", "reduce_sum_batch",
 )
 
 

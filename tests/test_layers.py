@@ -116,6 +116,52 @@ def test_attention_vs_true_softmax():
     assert np.abs(got - want).max() < 0.05
 
 
+def test_attention_chunked_matches_full():
+    """delta_chunk changes memory shape only, not values."""
+    RNG = np.random.default_rng(6)
+    A = RNG.standard_normal((SH.seq, SH.hidden)) * 0.5
+    d = SH.hidden
+    wq, wk, wv, wo = (rand_w(RNG, d, d, 1.0) for _ in range(4))
+    bq, bk, bv, bo = (RNG.standard_normal(d) * 0.05 for _ in range(4))
+    ap = L.build_attn_plans(SH, wq, bq, wk, bk, wv, bv, wo, bo)
+    full = unpack_act(L.attention(B, pack_act(A), SH, ap, smax_gamma=4.0))
+    chunked = unpack_act(L.attention(B, pack_act(A), SH, ap, smax_gamma=4.0,
+                                     delta_chunk=5))
+    assert np.abs(full - chunked).max() < 1e-12
+
+
+def test_attention_max_softmax():
+    """Real-max path (compute_softmax semantics) vs the true-softmax oracle."""
+    from fhe_gpt2_tpu.approx.minimax import auto_schedule
+    from fhe_gpt2_tpu.nn import kernels as K
+
+    RNG = np.random.default_rng(7)
+    A = RNG.standard_normal((SH.seq, SH.hidden)) * 0.5
+    d = SH.hidden
+    wq, wk, wv, wo = (rand_w(RNG, d, d, 1.0) for _ in range(4))
+    bq, bk, bv, bo = (RNG.standard_normal(d) * 0.05 for _ in range(4))
+    ap = L.build_attn_plans(SH, wq, bq, wk, bk, wv, bv, wo, bo)
+    ap.sign = K.SignPlans.from_composite(
+        auto_schedule(target_err=2.0 ** -12, eps=2.0 ** -9))
+    ap.exp_r = 6
+    ap.inv_iters = 20
+    ap.inv_prescale = 2.0 / (SH.seq + 1)   # denominator spans [1, seq]
+    ap.max_bound = 2.0
+    got = unpack_act(L.attention(B, pack_act(A), SH, ap, softmax="max"))
+    Q = (A @ wq + bq) / np.sqrt(SH.dh)
+    Km = A @ wk + bk
+    V = A @ wv + bv
+    want = np.zeros_like(A)
+    for h in range(SH.heads):
+        sl = slice(h * SH.dh, (h + 1) * SH.dh)
+        sc = Q[:, sl] @ Km[:, sl].T
+        sc = np.where(np.tril(np.ones((SH.seq, SH.seq))) > 0, sc, -1e9)
+        e = np.exp(sc - sc.max(-1, keepdims=True))
+        want[:, sl] = (e / e.sum(-1, keepdims=True)) @ V[:, sl]
+    want = want @ wo + bo
+    assert np.abs(got - want).max() < 0.05, np.abs(got - want).max()
+
+
 def test_mlp():
     RNG = np.random.default_rng(3)
     A = RNG.standard_normal((SH.seq, SH.hidden)) * 0.5
