@@ -114,8 +114,12 @@ def bench_bootstrap(args):
     B = CkksBackend(ctx=ctx, ev=ev, enc=enc, dec=dec,
                     default_level=args.levels)
     t0 = time.time()
-    em = make_evalmod(K=12, eps=2 ** -5, degree=45, arcsin_degree=3,
-                      prec_dps=60)
+    # Reference-grade EvalMod window (infer_seal.cpp:287-322): K=25 for the
+    # h=192 sparse secret, cos degree 59, 2 double-angle iterations; eps is
+    # the actual Δ/q0 of the parameter set (the modraise fraction bound).
+    eps = params.scale / float(ctx.moduli[0])
+    em = make_evalmod(K=args.K, eps=max(eps * 1.05, 2 ** -5),
+                      degree=args.degree, arcsin_degree=3, prec_dps=80)
     boot = Bootstrapper(B, num_slots=ns, cts_factors=args.factors,
                         stc_factors=args.factors, evalmod=em)
     steps = boot.required_steps()
@@ -172,6 +176,10 @@ def main():
     ap.add_argument("--sparse-slots", type=int, default=0)
     ap.add_argument("--factors", type=int, default=2,
                     help="CtS/StC FFT factorization depth")
+    ap.add_argument("--K", type=int, default=25,
+                    help="EvalMod integer window (reference: 25 for h=192)")
+    ap.add_argument("--degree", type=int, default=59,
+                    help="EvalMod cosine degree (reference: 59)")
     ap.add_argument("--word", type=int, default=32, choices=[32, 64],
                     help="engine word size: 32 = uint32 moduli (TPU-native, "
                          "~25-bit scale), 64 = uint64 moduli (46-bit scale)")

@@ -121,14 +121,21 @@ def _cheb_from(B, basis, i):
     return out
 
 
-def _eval_node(B, node: ChebPlanNode, basis):
+def _eval_node(B, node: ChebPlanNode, basis, target=None):
+    """Evaluate a plan node. `target`: desired exact output scale (CKKS
+    backends only; None = the context default). Leaf terms are plain
+    multiplies, whose scale-targeted encoding lands at ANY requested scale
+    for free — so the residual `r` of every q·T_m + r node is aligned to the
+    product's tracked scale with zero extra multiplies or levels (the add
+    then needs no correction). Internal-internal adds (both sides carry a
+    product) fall back to the reduced-error add's exact correction."""
     if node.leaf_coeffs is not None:
         c = node.leaf_coeffs
         acc = None
         for i in range(1, len(c)):
             if abs(c[i]) < 1e-300:
                 continue
-            term = B.mul_const(basis[i], float(c[i]))
+            term = B.mul_const(basis[i], float(c[i]), out_scale=target)
             acc = term if acc is None else B.add(acc, term)
         if acc is None:
             # Constant-only leaf: represent as c0 directly on a zero value.
@@ -137,12 +144,12 @@ def _eval_node(B, node: ChebPlanNode, basis):
             acc = B.add_const(acc, float(c[0]))
         return acc
     q = _eval_node(B, node.q, basis)
-    r = _eval_node(B, node.r, basis)
     tm = basis[node.m]
     if isinstance(q, float):
-        qt = B.mul_const(tm, q)
+        qt = B.mul_const(tm, q, out_scale=target)
     else:
         qt = B.mul(q, tm)
+    r = _eval_node(B, node.r, basis, target=B.scale_of(qt))
     if isinstance(r, float):
         return B.add_const(qt, r)
     return B.add(qt, r)

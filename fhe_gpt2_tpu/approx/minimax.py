@@ -119,8 +119,7 @@ def sign_composite(alpha: int = 13, eps: float = 2 ** -6,
     stages = []
     err = mpf(0)
     for d in degrees:
-        p, err = remez(lambda x: mpf(1), [(a, b)], d, odd=True,
-                       prec_dps=prec_dps)
+        p, err = _sign_stage(a, b, d, prec_dps)
         stages.append(p)
         a, b = 1 - err, 1 + err
     out = SignComposite(stages=stages, eps=eps, err=float(err))
@@ -128,14 +127,19 @@ def sign_composite(alpha: int = 13, eps: float = 2 ** -6,
     return out
 
 
+def _sign_stage(a, b, d, prec_dps):
+    """One odd minimax stage toward sign on [a, b] (mirror-extended)."""
+    return remez(lambda x: mpf(1), [(a, b)], d, odd=True, prec_dps=prec_dps,
+                 func_np=lambda x: np.ones_like(np.asarray(x, float)))
+
+
 def auto_schedule(target_err: float, eps: float, stage_deg: int = 27,
                   max_stages: int = 12, prec_dps: int = 80,
                   use_cache: bool = True) -> SignComposite:
     """Grow the composition stage by stage until the band reaches target_err.
 
-    Replaces the reference's upgrade_oddbaby DP + precomputed tables with a
-    self-validating construction: each stage is a true minimax poly and the
-    final error is the last equioscillation value.
+    Fixed per-stage degree; see dp_schedule for the cost-optimal planner
+    (the upgrade_oddbaby counterpart).
     """
     name = f"sign_auto_t{target_err:.3e}_e{eps:.3e}_d{stage_deg}"
     path = _cache_path(name)
@@ -145,12 +149,158 @@ def auto_schedule(target_err: float, eps: float, stage_deg: int = 27,
     stages = []
     err = mpf(1)
     for _ in range(max_stages):
-        p, err = remez(lambda x: mpf(1), [(a, b)], stage_deg, odd=True,
-                       prec_dps=prec_dps)
+        p, err = _sign_stage(a, b, stage_deg, prec_dps)
         stages.append(p)
         a, b = 1 - err, 1 + err
         if float(err) <= target_err:
             break
+    out = SignComposite(stages=stages, eps=eps, err=float(err))
+    _save_stages(path, stages, eps, float(err))
+    return out
+
+
+# ---------------------------------------------------------------------------
+# DP composite planner (the counterpart of the reference's upgrade_oddbaby /
+# upgrade_baby dynamic programs, comp/program.cpp:3-158): choose per-stage
+# degrees minimizing (multiplicative depth, then ct-multiplications) of the
+# WHOLE composition as evaluated by this framework's Chebyshev BSGS engine.
+# ---------------------------------------------------------------------------
+
+class _CostBackend:
+    """Backend whose values are depths; counts multiplications. Running a
+    ChebEvalPlan through it measures the plan's true cost on this engine
+    (instead of assuming an analytic mult/depth formula)."""
+
+    def __init__(self):
+        self.mults = 0
+
+    def mul(self, a, b):
+        self.mults += 1
+        return max(a, b) + 1
+
+    def square(self, a):
+        self.mults += 1
+        return a + 1
+
+    def mul_const(self, a, c, out_scale=None):
+        return a + 1
+
+    def mul_plain(self, a, v, out_scale=None):
+        return a + 1
+
+    def add(self, a, b):
+        return max(a, b)
+
+    def sub(self, a, b):
+        return max(a, b)
+
+    def neg(self, a):
+        return a
+
+    def add_const(self, a, c):
+        return a
+
+    def scale_of(self, a):
+        return None
+
+
+def stage_cost(degree: int) -> tuple[int, int]:
+    """(depth, ct-mults) of one degree-`degree` odd stage on this engine."""
+    from .chebeval import make_plan, eval_plan
+    plan = make_plan(np.ones(degree + 1), -1.0, 1.0)
+    B = _CostBackend()
+    depth = eval_plan(B, plan, 0)
+    return int(depth), int(B.mults)
+
+
+def _stage_err_table(d: int, log2e: float, first: bool,
+                     prec_dps: int) -> float:
+    """Cached stage output band: log2 of the minimax error of one degree-d
+    odd stage. `first` stages act on the sign gap band [e, 1] (e = eps);
+    later stages act on the unit band [1-e, 1+e]."""
+    path = _cache_path("sign_stage_errs")
+    tab = {}
+    if os.path.exists(path):
+        with open(path) as f:
+            tab = json.load(f)
+    key = f"{d}_{log2e:.2f}_{int(first)}_{prec_dps}"
+    if key in tab:
+        return tab[key]
+    e = mpf(2) ** mpf(log2e)
+    a, b = (e, mpf(1)) if first else (1 - e, 1 + e)
+    _, err = _sign_stage(a, b, d, prec_dps)
+    import math
+    v = float(math.log2(float(err))) if err > 0 else -prec_dps * 3.3
+    tab[key] = v
+    with open(path, "w") as f:
+        json.dump(tab, f)
+    return v
+
+
+def dp_schedule(target_err: float, eps: float,
+                degrees=(7, 15, 27, 31, 63), prec_dps: int = 80,
+                grid: float = 0.25, use_cache: bool = True) -> SignComposite:
+    """Min-(depth, mults) composite sign via shortest path over band states.
+
+    States are log2 of the current band half-width, discretized to `grid`
+    (errors are pinned pessimistically to the grid, so the found schedule
+    is feasible); edges are single odd minimax stages with measured
+    (depth, mults) costs on this evaluator. Equivalent in role to the
+    reference's upgrade_oddbaby DP (comp/program.cpp:3-60), which minimizes
+    mults for given depth over its own evaluation trees.
+    """
+    import heapq
+    import math
+
+    name = (f"sign_dp_t{target_err:.3e}_e{eps:.3e}_"
+            f"d{'_'.join(map(str, degrees))}")
+    path = _cache_path(name)
+    if use_cache and os.path.exists(path):
+        return _load_stages(path)
+
+    costs = {d: stage_cost(d) for d in degrees}
+    tgt = math.log2(target_err)
+    start = math.log2(eps)
+
+    def snap(t: float) -> float:
+        # Discretize in log2(−log2 e): uniform resolution from bands
+        # hugging e≈1 (early stages) down to 2^-40 tails. Pessimistic
+        # (rounds toward larger e), so found schedules stay feasible.
+        s = math.floor(math.log2(-t) / grid) * grid
+        return -(2.0 ** s)
+
+    # Dijkstra on (depth, mults) lexicographic cost.
+    pq = [((0, 0), start, ())]
+    best = {}
+    sched = None
+    while pq:
+        (dep, mu), state, via = heapq.heappop(pq)
+        if state <= tgt:
+            sched = via
+            break
+        if best.get(state, (1 << 30, 0)) <= (dep, mu):
+            continue
+        best[state] = (dep, mu)
+        for d in degrees:
+            e2 = _stage_err_table(d, state, first=not via,
+                                  prec_dps=prec_dps)
+            # Band stages must shrink the band (the first stage maps the
+            # gap parameter to a band — different quantity, always taken).
+            if via and e2 >= state - 1e-9:
+                continue
+            sdep, smu = costs[d]
+            nxt = tgt if e2 <= tgt else snap(e2)
+            heapq.heappush(pq, ((dep + sdep, mu + smu), nxt, via + (d,)))
+    assert sched, "dp_schedule: no feasible composition found"
+
+    # Realize the schedule with exact sequential Remez (true errors).
+    a, b = mpf(eps), mpf(1)
+    stages = []
+    err = mpf(1)
+    for d in sched:
+        p, err = _sign_stage(a, b, d, prec_dps)
+        stages.append(p)
+        a, b = 1 - err, 1 + err
     out = SignComposite(stages=stages, eps=eps, err=float(err))
     _save_stages(path, stages, eps, float(err))
     return out

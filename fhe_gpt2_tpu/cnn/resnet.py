@@ -25,13 +25,24 @@ from .conv import PlanarLayout, avgpool_spec, bias_vector, conv2d_spec, \
     fc_spec, fold_bn
 
 
-def load_reference_weights(depth: int = 20,
+def load_reference_weights(depth: int = 20, dataset: str = "cifar10",
                            root: str = "/root/reference/pretrained_parameters"
                            ) -> dict:
     """Read the reference's per-layer text weight files
     (format documented in cnn_ckks README; reader parity with
-    infer_seal.cpp:33-106 import_parameters_cifar10)."""
-    d = os.path.join(root, f"resnet{depth}_new")
+    infer_seal.cpp:33-106 import_parameters_cifar10 and
+    infer_seal.cpp:108-249 import_parameters_cifar100).
+
+    dataset="cifar100" (resnet32 only, like the reference) uses learned
+    1x1-conv + BN downsample shortcuts (option B) and a 64→100 classifier;
+    CIFAR-10 nets use identity-with-zero-pad shortcuts (option A)."""
+    if dataset == "cifar100":
+        assert depth == 32, "reference ships CIFAR-100 weights for depth 32"
+        d = os.path.join(root, "resnet32_cifar100")
+        n_classes = 100
+    else:
+        d = os.path.join(root, f"resnet{depth}_new")
+        n_classes = 10
 
     def arr(name, shape=None):
         v = np.loadtxt(os.path.join(d, name + ".txt"))
@@ -54,7 +65,15 @@ def load_reference_weights(depth: int = 20,
             for bn in ("bn1", "bn2"):
                 for k in ("weight", "bias", "running_mean", "running_var"):
                     w[f"{p}{bn}_{k}"] = arr(f"{p}{bn}_{k}")
-    w["linear_weight"] = arr("linear_weight", (10, 64))
+            if dataset == "cifar100" and s > 1 and b == 0:
+                # Learned downsample: shortcut_0 = 1x1 stride-2 conv,
+                # shortcut_1 = BN (import_parameters_cifar100 reads these
+                # from layer{s}_0_shortcut_*).
+                w[p + "shortcut_conv"] = arr(p + "shortcut_0_weight",
+                                             (cw, c1_in, 1, 1))
+                for k in ("weight", "bias", "running_mean", "running_var"):
+                    w[f"{p}shortcut_bn_{k}"] = arr(f"{p}shortcut_1_{k}")
+    w["linear_weight"] = arr("linear_weight", (n_classes, 64))
     w["linear_bias"] = arr("linear_bias")
     return w
 
@@ -116,7 +135,14 @@ def build_resnet_plans(weights: dict, depth: int, slots: int,
             plan1, bias1 = conv_bn(p + "conv1", p + "bn1", lin, lout, stride)
             plan2, bias2 = conv_bn(p + "conv2", p + "bn2", lout, lout, 1)
             short = None
-            if stride != 1 or lin.c != cw:
+            short_bias = None
+            if p + "shortcut_conv" in weights:
+                # Learned 1x1-conv + BN downsample (option B — the CIFAR-100
+                # nets, import_parameters_cifar100).
+                short, short_bias = conv_bn(p + "shortcut_conv",
+                                            p + "shortcut_bn", lin, lout,
+                                            stride)
+            elif stride != 1 or lin.c != cw:
                 # Identity-with-zero-pad shortcut (CIFAR ResNet option A):
                 # subsample spatially, pad channels — a pure repack LT.
                 eye = np.zeros((cw, lin.c, 1, 1))
@@ -125,7 +151,8 @@ def build_resnet_plans(weights: dict, depth: int, slots: int,
                 short = conv2d_spec(eye, lin, lout, stride,
                                     name=p + "short").bsgs_plan(giant)
             blocks.append(dict(plan1=plan1, bias1=bias1, plan2=plan2,
-                               bias2=bias2, short=short, lin=lin, lout=lout))
+                               bias2=bias2, short=short,
+                               short_bias=short_bias, lin=lin, lout=lout))
             lin = lout
     pool = avgpool_spec(lin, slots).bsgs_plan(giant)
     fcw = weights["linear_weight"].T        # [64, 10]
@@ -172,6 +199,9 @@ def forward_segments(B, rp: ResNetPlans, boot_between: bool = True) -> list:
         h = apply_lt(B, blk["plan2"], h)
         h = [B.add_plain(v, blk["bias2"][i]) for i, v in enumerate(h)]
         res = xs if blk["short"] is None else apply_lt(B, blk["short"], xs)
+        if blk.get("short_bias") is not None:
+            res = [B.add_plain(v, blk["short_bias"][i])
+                   for i, v in enumerate(res)]
         h = [B.add(a, b) for a, b in zip(h, res)]
         return _relu(B, h, rp)
 
@@ -211,7 +241,7 @@ def _fc_bias_vec(rp: ResNetPlans) -> np.ndarray:
 
 
 def logits_from_slots(rp: ResNetPlans, slots_vec: np.ndarray) -> np.ndarray:
-    out = np.asarray(slots_vec).ravel()[:10]
+    out = np.asarray(slots_vec).ravel()[: len(rp.fc_bias)]
     return out * rp.relu_bound if rp.normalized else out
 
 
@@ -251,7 +281,10 @@ def forward_float(weights: dict, depth: int, img: np.ndarray) -> np.ndarray:
             h = np.maximum(bn(_conv2d_np(x, weights[p + "conv1"], stride),
                               p + "bn1"), 0)
             h = bn(_conv2d_np(h, weights[p + "conv2"]), p + "bn2")
-            if stride != 1 or x.shape[0] != cw:
+            if p + "shortcut_conv" in weights:
+                res = bn(_conv2d_np(x, weights[p + "shortcut_conv"], stride),
+                         p + "shortcut_bn")
+            elif stride != 1 or x.shape[0] != cw:
                 res = x[:, ::stride, ::stride]
                 pad = cw - res.shape[0]
                 res = np.pad(res, ((pad // 2, pad - pad // 2), (0, 0), (0, 0)))

@@ -52,7 +52,7 @@ class PlainBackend:
     def square(self, a):
         return a * a
 
-    def mul_plain(self, a, v):
+    def mul_plain(self, a, v, out_scale=None):
         return a * v
 
     def add_plain(self, a, v):
@@ -61,8 +61,13 @@ class PlainBackend:
     def add_const(self, a, c):
         return a + c
 
-    def mul_const(self, a, c):
+    def mul_const(self, a, c, out_scale=None):
         return a * c
+
+    def scale_of(self, a):
+        """Exact tracked scale of a value; None on the plain backend (scale
+        targeting is a no-op there)."""
+        return None
 
     def rotate(self, a, steps: int):
         return np.roll(a, -steps, axis=-1)
@@ -218,22 +223,30 @@ class CkksBackend:
         return a
 
     def mul(self, a, b):
+        """ct×ct multiply + rescale with EXACT scale tracking: the result
+        scale is a.scale·b.scale/q_last, never relabeled. Relabeling to the
+        context scale (the round-1 convention) injects |q_last/Δ − 1| as
+        multiplicative error per multiply — harmless at 46-bit scales
+        (drift ~2^-34) but catastrophic on the uint32 engine, where 25-bit
+        NTT primes sit up to ~2^-11 off Δ (measured: 4.4e-3 per multiply).
+        Scale alignment instead happens for free at the next scale-targeted
+        plain multiply, or via the reduced-error add's exact correction
+        (Kim et al. CT-RSA'22 — the discipline the reference adopts)."""
         a, b = self._ab(a), self._ab(b)
         out = self.ev.multiply_reduced_error(a, b)
-        return self.ev.rescale_to_scale(out, max(a.scale, b.scale))
+        return self.ev.rescale(out)
 
     def square(self, a):
         a = self._ab(a)
-        out = self.ev.square(a)
-        return self.ev.rescale_to_scale(out, a.scale)
+        return self.ev.rescale(self.ev.square(a))
 
-    def mul_plain(self, a, v):
+    def mul_plain(self, a, v, out_scale: float = None):
         a = self._ab(a)
         # Scale-targeted encoding (the reference's encode-at-matching-scale
         # reduced-error ops, evaluator.h:1269): choose the plaintext scale so
-        # the rescaled product lands exactly at the context scale — works in
-        # both the Δ regime and the bootstrap q0 regime.
-        delta = self.ctx.params.scale
+        # the rescaled product lands EXACTLY at out_scale (default: context
+        # scale) — works in both the Δ regime and the bootstrap q0 regime.
+        delta = out_scale or self.ctx.params.scale
         cs = delta * self._next_prime(a) / a.scale
         p = self._plain(v, a.level, cs)
         out = self.ev.mul_plain(a, p)
@@ -246,16 +259,19 @@ class CkksBackend:
     def add_const(self, a, c):
         return self.ev.add_const(a, float(c))
 
-    def mul_const(self, a, c):
+    def mul_const(self, a, c, out_scale: float = None):
         c = float(c)
-        if c == int(c) and abs(c) < 2 ** 40:
+        if out_scale is None and c == int(c) and abs(c) < 2 ** 40:
             # Exact integer multiply: free (no level, no scale change).
             return self.ev.mul_const_int(a, int(c))
         a = self._ab(a)
-        delta = self.ctx.params.scale
+        delta = out_scale or self.ctx.params.scale
         cs = delta * self._next_prime(a) / a.scale
         out = self.ev.mul_const(a, c, const_scale=cs)
         return self.ev.rescale_to_scale(out, delta)
+
+    def scale_of(self, a) -> float:
+        return a.scale
 
     def rotate(self, a, steps: int):
         return self.ev.rotate(self._ab(a), steps)

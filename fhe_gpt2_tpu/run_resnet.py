@@ -24,6 +24,10 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--depth", type=int, default=20,
                     choices=[20, 32, 44, 56, 110])
+    ap.add_argument("--dataset", default="cifar10",
+                    choices=["cifar10", "cifar100"],
+                    help="cifar100 = resnet32_cifar100 weights (option-B "
+                         "learned downsample shortcuts, 100-way FC)")
     ap.add_argument("--images", type=int, default=1)
     ap.add_argument("--plain", action="store_true")
     ap.add_argument("--logn", type=int, default=15)
@@ -45,7 +49,7 @@ def main():
     from .nn.backend import PlainBackend, RecordingBackend
 
     t0 = time.time()
-    weights = R.load_reference_weights(a.depth)
+    weights = R.load_reference_weights(a.depth, a.dataset)
     slots = (1 << (a.logn - 1)) if not a.plain else 16384
     sign = K.SignPlans.from_composite(
         auto_schedule(target_err=2.0 ** -12, eps=2.0 ** -9))

@@ -88,3 +88,28 @@ def test_resnet20_plain_vs_oracle():
     print("logits want", np.round(want, 3))
     assert got.argmax() == want.argmax()
     assert np.abs(got - want).max() < 0.5
+
+
+@pytest.mark.slow
+def test_resnet32_cifar100_plain_vs_oracle():
+    """CIFAR-100 variant: option-B learned downsample shortcuts + 100-way FC
+    (import_parameters_cifar100 parity)."""
+    from fhe_gpt2_tpu.approx.minimax import auto_schedule
+    from fhe_gpt2_tpu.nn import kernels as K
+
+    weights = R.load_reference_weights(32, dataset="cifar100")
+    assert weights["linear_weight"].shape == (100, 64)
+    assert "layer2_0_shortcut_conv" in weights
+    rng = np.random.default_rng(1)
+    img = rng.uniform(-1, 1, (3, 32, 32))
+    want = R.forward_float(weights, 32, img)
+    assert want.shape == (100,)
+    slots = 16384
+    sign = K.SignPlans.from_composite(
+        auto_schedule(target_err=2.0 ** -12, eps=2.0 ** -9))
+    rp = R.build_resnet_plans(weights, 32, slots, sign=sign)
+    B = PlainBackend(slots)
+    out = R.forward(B, R.pack_input(rp, img), rp, boot_between=False)
+    got = R.logits_from_slots(rp, out[0])
+    assert np.argmax(got) == np.argmax(want)
+    assert np.abs(got - want).max() < 0.5, np.abs(got - want).max()
