@@ -577,17 +577,25 @@ def unstack_cts(ct: Ciphertext, axis: int = 0) -> list[Ciphertext]:
 
 class Encryptor:
     def __init__(self, ctx: CkksContext, secret: Optional[SecretKey] = None,
-                 public: Optional[PublicKey] = None, seed: int = 1):
+                 public: Optional[PublicKey] = None, seed: int = 1,
+                 secure: bool = False, rng=None):
         self.ctx = ctx
         self.secret = secret
         self.public = public
-        self.rng = np.random.default_rng(seed)
+        if rng is not None:
+            self.rng = rng
+        elif secure:
+            from .csprng import ShakeRng
+            self.rng = ShakeRng()
+        else:
+            self.rng = np.random.default_rng(seed)
 
-    def encrypt_symmetric(self, pt: Plaintext) -> Ciphertext:
+    def encrypt_symmetric(self, pt: Plaintext, a=None) -> Ciphertext:
         ctx, l = self.ctx, pt.level
         t = ctx.tables(l)
         mods = [ctx.all_moduli[i] for i in range(l)]
-        a = jnp.asarray(sample_uniform_rns(self.rng, ctx.n, mods))
+        if a is None:
+            a = jnp.asarray(sample_uniform_rns(self.rng, ctx.n, mods))
         e = jnp.asarray(_to_rns(
             sample_gaussian(self.rng, ctx.n, ctx.params.error_std), mods))
         s = self.secret.ntt[:l]
@@ -596,6 +604,19 @@ class Encryptor:
             nttmod.ntt(e, t), t.q)
         b = add_mod(b, pt.data, t.q)
         return Ciphertext(jnp.stack([b, a]), pt.scale)
+
+    def encrypt_symmetric_seeded(self, pt: Plaintext):
+        """Fresh symmetric encryption whose uniform c1 component is expanded
+        from a 32-byte SHAKE seed — SEAL's seeded-ciphertext compression
+        (serialization.cpp seeded save): the wire form carries (c0, seed),
+        halving fresh-ciphertext size. Returns (Ciphertext, seed)."""
+        import os as _os
+        from .csprng import ShakeRng
+        seed = _os.urandom(32)
+        mods = [self.ctx.all_moduli[i] for i in range(pt.level)]
+        a = jnp.asarray(expand_uniform(seed, self.ctx.n, mods,
+                                       self.ctx.word))
+        return self.encrypt_symmetric(pt, a=a), seed
 
     def encrypt(self, pt: Plaintext) -> Ciphertext:
         if self.public is None:
@@ -625,6 +646,18 @@ class Encryptor:
         tq = ctx.tables(pt.level).q
         data = data.at[0].set(add_mod(data[0], pt.data, tq))
         return Ciphertext(data, pt.scale)
+
+
+def expand_uniform(seed: bytes, n: int, moduli, word) -> np.ndarray:
+    """Deterministic SHAKE-256 expansion of a uniform RNS poly (the c1 of a
+    seeded ciphertext). Platform-independent: both ends regenerate the same
+    array from the 32-byte seed."""
+    from .csprng import ShakeRng
+    rng = ShakeRng(seed)
+    out = np.zeros((len(moduli), n), dtype=word)
+    for i, q in enumerate(moduli):
+        out[i] = rng.integers(0, int(q), size=n, dtype=np.uint64).astype(word)
+    return out
 
 
 class Decryptor:

@@ -140,9 +140,20 @@ jax.tree_util.register_pytree_node(
 
 
 class KeyGenerator:
-    def __init__(self, ctx: CkksContext, seed: int = 0):
+    def __init__(self, ctx: CkksContext, seed: int = 0, secure: bool = False,
+                 rng=None):
+        """secure=True samples from the SHAKE-256 CSPRNG (core/csprng.py,
+        fresh os.urandom seed) instead of seeded numpy PCG — the reference's
+        Blake2/SHAKE RNG posture (randomgen.cpp) for actual deployments;
+        seeded numpy stays the default for reproducible tests/benches."""
         self.ctx = ctx
-        self.rng = np.random.default_rng(seed)
+        if rng is not None:
+            self.rng = rng
+        elif secure:
+            from .csprng import ShakeRng
+            self.rng = ShakeRng()
+        else:
+            self.rng = np.random.default_rng(seed)
         s = sample_ternary(self.rng, ctx.n, ctx.params.hamming_weight)
         s_rns = _to_rns(s, ctx.all_moduli)
         tables = ctx.tables(tuple(range(len(ctx.all_moduli))))

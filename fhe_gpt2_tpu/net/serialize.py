@@ -60,6 +60,32 @@ def load_ciphertext(blob: bytes) -> Ciphertext:
     return Ciphertext(jnp.asarray(arr), h["scale"])
 
 
+def dump_ciphertext_seeded(ct: Ciphertext, seed: bytes) -> bytes:
+    """Seeded fresh-ciphertext form (serialization.cpp seeded save): only c0
+    travels; c1 is regenerated from the 32-byte SHAKE seed at load. Halves
+    the wire size of fresh symmetric ciphertexts (before zlib)."""
+    arr = np.asarray(ct.data)
+    assert arr.shape[0] == 2, "seeded form is for fresh (k=2) ciphertexts"
+    return _pack({"kind": "ct_seeded", "scale": ct.scale,
+                  "shape": list(arr.shape), "dtype": arr.dtype.name,
+                  "seed": seed.hex()},
+                 arr[0].tobytes())
+
+
+def load_ciphertext_seeded(blob: bytes, ctx) -> Ciphertext:
+    import jax.numpy as jnp
+    from ..core.evaluator import expand_uniform
+    h, payload = _unpack(blob)
+    assert h["kind"] == "ct_seeded"
+    shape = h["shape"]
+    c0 = np.frombuffer(payload, dtype=h.get("dtype", "uint64")).reshape(
+        shape[1:])
+    l = shape[-2]
+    mods = [ctx.all_moduli[i] for i in range(l)]
+    c1 = expand_uniform(bytes.fromhex(h["seed"]), ctx.n, mods, ctx.word)
+    return Ciphertext(jnp.asarray(np.stack([c0, c1])), h["scale"])
+
+
 def dump_kswitch_key(k: KSwitchKey) -> bytes:
     arr = np.asarray(k.data)
     return _pack({"kind": "ksk", "shape": list(arr.shape),

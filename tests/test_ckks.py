@@ -212,3 +212,32 @@ def test_multi_special_dnum(nsp):
     assert np.allclose(dec.decrypt(h3), np.roll(z, -3), atol=1e-6)
     ct_pk = enc.encrypt(ev.make_plain(z, sc, 4))
     assert np.allclose(dec.decrypt(ct_pk), z, atol=1e-6)
+
+
+def test_csprng_backed_keygen():
+    """SHAKE-256 CSPRNG sampling (randomgen.cpp posture): deterministic for a
+    fixed seed, exact hamming weight, and a working encrypt/decrypt flow."""
+    from fhe_gpt2_tpu.core.csprng import ShakeRng
+    from fhe_gpt2_tpu.core.keys import KeyGenerator
+
+    r1, r2 = ShakeRng(seed=42), ShakeRng(seed=42)
+    assert np.array_equal(r1.integers(1000, size=64), r2.integers(1000, size=64))
+    assert np.array_equal(r1.choice(256, 32), r2.choice(256, 32))
+    z = ShakeRng(seed=7).normal(0.0, 3.2, size=4096)
+    assert abs(z.mean()) < 0.3 and abs(z.std() - 3.2) < 0.3
+    pick = ShakeRng(seed=9).choice(512, 64)
+    assert len(set(pick.tolist())) == 64
+
+    params = CkksParams.create(logn=9, log_q0=50, log_scale=40, num_levels=3,
+                               log_special=51, hamming_weight=32)
+    ctx = CkksContext(params)
+    kg = KeyGenerator(ctx, rng=ShakeRng(seed=1))
+    assert int(np.count_nonzero(kg.secret.coeffs)) == 32
+    ev = Evaluator(ctx, relin_key=kg.relin_key())
+    enc = Encryptor(ctx, secret=kg.secret, rng=ShakeRng(seed=2))
+    dec = Decryptor(ctx, kg.secret)
+    rng = np.random.default_rng(0)
+    x = rng.uniform(-1, 1, ctx.params.slots)
+    ct = enc.encrypt(ev.make_plain(x, params.scale, 3))
+    out = ev.rescale(ev.multiply(ct, ct))
+    assert np.abs(np.real(dec.decrypt(out)) - x * x).max() < 1e-6

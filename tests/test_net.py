@@ -89,3 +89,27 @@ def test_pir_embedding_lookup(setup):
     out = srv.answer(B, cts)
     got = B.to_slots(out)[:d]
     assert np.allclose(got, table[123], atol=1e-3)
+
+
+def test_seeded_ciphertext_roundtrip():
+    """Seeded fresh-ct form: half the payload, exact decrypt after reload."""
+    from fhe_gpt2_tpu.net.serialize import (
+        dump_ciphertext, dump_ciphertext_seeded, load_ciphertext_seeded)
+
+    params = CkksParams.create(logn=9, log_q0=50, log_scale=40, num_levels=3,
+                               log_special=51, hamming_weight=32)
+    ctx = CkksContext(params)
+    kg = KeyGenerator(ctx, seed=3)
+    ev = Evaluator(ctx)
+    enc = Encryptor(ctx, secret=kg.secret, seed=4)
+    dec = Decryptor(ctx, kg.secret)
+    rng = np.random.default_rng(0)
+    x = rng.uniform(-1, 1, ctx.params.slots)
+    pt = ev.make_plain(x, params.scale, 3)
+    ct, seed = enc.encrypt_symmetric_seeded(pt)
+    blob = dump_ciphertext_seeded(ct, seed)
+    full = dump_ciphertext(ct)
+    assert len(blob) < 0.6 * len(full), (len(blob), len(full))
+    back = load_ciphertext_seeded(blob, ctx)
+    assert np.array_equal(np.asarray(back.data), np.asarray(ct.data))
+    assert np.abs(np.real(dec.decrypt(back)) - x).max() < 1e-8
