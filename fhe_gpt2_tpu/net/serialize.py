@@ -100,6 +100,28 @@ def load_kswitch_key(blob: bytes) -> KSwitchKey:
         payload, dtype=h.get("dtype", "uint64")).reshape(h["shape"])))
 
 
+def dump_galois_elt(elt: int, k: KSwitchKey) -> bytes:
+    """One Galois key as its own frame (streaming upload granularity)."""
+    arr = np.asarray(k.data)
+    return _pack({"kind": "gal_elt", "elt": int(elt),
+                  "shape": list(arr.shape), "dtype": arr.dtype.name},
+                 arr.tobytes())
+
+
+def load_galois_elt(blob: bytes) -> tuple[int, KSwitchKey]:
+    import jax.numpy as jnp
+    h, payload = _unpack(blob)
+    assert h["kind"] == "gal_elt"
+    return h["elt"], KSwitchKey(jnp.asarray(np.frombuffer(
+        payload, dtype=h.get("dtype", "uint64")).reshape(h["shape"])))
+
+
+def peek_kind(blob: bytes) -> str:
+    assert blob[:4] == MAGIC, "bad magic"
+    hlen, _, _ = struct.unpack("<III", blob[4:16])
+    return json.loads(blob[16:16 + hlen].decode())["kind"]
+
+
 def dump_galois_keys(gk: GaloisKeys) -> bytes:
     elts = sorted(gk.keys)
     blobs = [dump_kswitch_key(gk.keys[e]) for e in elts]

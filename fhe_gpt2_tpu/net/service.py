@@ -63,11 +63,60 @@ class SecureInferenceServer:
         out = self.model_fn(B, ct)
         return S.dump_ciphertext(out)
 
+    def _init_session_stream(self, request_iter, ctx) -> bytes:
+        """Client-streaming key upload: one framed blob per message (params,
+        relin ksk, individual Galois keys) — GB-scale key material never
+        materializes as a single gRPC message (the reference's streaming
+        upload concern, secure_inference_server.cc:94-177)."""
+        from ..core.context import CkksContext
+        from ..core.evaluator import Evaluator
+        from ..core.keys import GaloisKeys
+        from ..nn.backend import CkksBackend
+        params = relin = None
+        gk = GaloisKeys()
+        for blob in request_iter:
+            kind = S.peek_kind(blob)
+            if kind == "params":
+                params = S.load_params(blob)
+            elif kind == "ksk":
+                relin = S.load_kswitch_key(blob)
+            elif kind == "gal_elt":
+                elt, k = S.load_galois_elt(blob)
+                gk.keys[elt] = k
+        assert params is not None, "stream must include params"
+        cctx = CkksContext(params)
+        ev = Evaluator(cctx, relin_key=relin,
+                       galois_keys=gk if gk.keys else None)
+        self._state["backend"] = CkksBackend(ctx=cctx, ev=ev)
+        return b"ok"
+
+    def _evaluate_stream(self, request_iter, ctx):
+        """Bidirectional evaluate loop — the RepackAndSend counterpart
+        (secure_inference_server.cc:94-177): each inbound ciphertext is
+        evaluated and the result streamed back immediately."""
+        B = self._state["backend"]
+        for blob in request_iter:
+            out = self.model_fn(B, S.load_ciphertext(blob))
+            yield S.dump_ciphertext(out)
+
     def start(self):
         import grpc
+
+        def _stream_in(f):
+            return grpc.stream_unary_rpc_method_handler(
+                f, request_deserializer=lambda b: b,
+                response_serializer=lambda b: b)
+
+        def _stream_bidi(f):
+            return grpc.stream_stream_rpc_method_handler(
+                f, request_deserializer=lambda b: b,
+                response_serializer=lambda b: b)
+
         handlers = {
             "InitSession": _bytes_io(self._init_session),
+            "InitSessionStream": _stream_in(self._init_session_stream),
             "Evaluate": _bytes_io(self._evaluate),
+            "EvaluateStream": _stream_bidi(self._evaluate_stream),
         }
         self._server = grpc.server(
             futures.ThreadPoolExecutor(max_workers=4),
@@ -95,8 +144,14 @@ class SecureInferenceClient:
         self._init = self._chan.unary_unary(
             f"/{_SERVICE}/InitSession",
             request_serializer=lambda b: b, response_deserializer=lambda b: b)
+        self._init_stream = self._chan.stream_unary(
+            f"/{_SERVICE}/InitSessionStream",
+            request_serializer=lambda b: b, response_deserializer=lambda b: b)
         self._eval = self._chan.unary_unary(
             f"/{_SERVICE}/Evaluate",
+            request_serializer=lambda b: b, response_deserializer=lambda b: b)
+        self._eval_stream = self._chan.stream_stream(
+            f"/{_SERVICE}/EvaluateStream",
             request_serializer=lambda b: b, response_deserializer=lambda b: b)
 
     def init_session(self, params, relin_key=None, galois_keys=None) -> None:
@@ -107,5 +162,22 @@ class SecureInferenceClient:
             msg += S.dump_galois_keys(galois_keys)
         assert self._init(msg) == b"ok"
 
+    def init_session_stream(self, params, relin_key=None,
+                            galois_keys=None) -> None:
+        """Streaming key upload: one bounded message per key component."""
+        def gen():
+            yield S.dump_params(params)
+            if relin_key is not None:
+                yield S.dump_kswitch_key(relin_key)
+            if galois_keys is not None:
+                for elt in sorted(galois_keys.keys):
+                    yield S.dump_galois_elt(elt, galois_keys.keys[elt])
+        assert self._init_stream(gen()) == b"ok"
+
     def evaluate(self, ct):
         return S.load_ciphertext(self._eval(S.dump_ciphertext(ct)))
+
+    def evaluate_stream(self, cts: list) -> list:
+        """Pipeline many ciphertexts through the bidi evaluate loop."""
+        resp = self._eval_stream(S.dump_ciphertext(c) for c in cts)
+        return [S.load_ciphertext(b) for b in resp]

@@ -113,3 +113,64 @@ def test_seeded_ciphertext_roundtrip():
     back = load_ciphertext_seeded(blob, ctx)
     assert np.array_equal(np.asarray(back.data), np.asarray(ct.data))
     assert np.abs(np.real(dec.decrypt(back)) - x).max() < 1e-8
+
+
+def test_batch_pir_encrypted():
+    """Vectorized BatchPIR: 6 private lookups in one round, encrypted query,
+    cuckoo-hashed buckets, answers vs the table (batchpirserver.h parity)."""
+    from fhe_gpt2_tpu.net.pir import BatchPIRClient, BatchPIRServer
+    from fhe_gpt2_tpu.nn.backend import CkksBackend
+
+    slots = 256
+    vocab, d, batch = 120, 8, 6
+    rng = np.random.default_rng(3)
+    table = rng.standard_normal((vocab, d))
+    srv = BatchPIRServer(table, slots, batch_size=batch)
+    cli = BatchPIRClient(vocab, slots, batch, d)
+    assert srv.st == cli.st and srv.n_cts == cli.n_cts
+
+    params = CkksParams.create(logn=9, log_q0=50, log_scale=40, num_levels=4,
+                               log_special=51, hamming_weight=32)
+    ctx = CkksContext(params)
+    kg = KeyGenerator(ctx, seed=5)
+    ev = Evaluator(ctx, relin_key=kg.relin_key(),
+                   galois_keys=kg.galois_keys(steps=srv.required_steps()))
+    enc = Encryptor(ctx, secret=kg.secret, seed=6)
+    dec = Decryptor(ctx, kg.secret)
+    B = CkksBackend(ctx=ctx, ev=ev, enc=enc, dec=dec, default_level=4)
+
+    tokens = [3, 77, 31, 119, 0, 64]
+    q, asg = cli.make_queries(tokens)
+    assert len({asg[t] for t in tokens}) == batch   # distinct buckets
+    q_enc = [B.from_slots(row) for row in q]
+    ans = srv.answer(B, q_enc)
+    ans_np = np.stack([B.to_slots(a) for a in ans])
+    rows = cli.extract(ans_np, asg, tokens)
+    assert np.abs(rows - table[tokens]).max() < 1e-4
+
+
+def test_grpc_streaming_loopback(setup):
+    """Streaming key upload + bidi evaluate loop (RepackAndSend parity)."""
+    grpc = pytest.importorskip("grpc")
+    from fhe_gpt2_tpu.net.service import (
+        SecureInferenceClient, SecureInferenceServer,
+    )
+    params, ctx, kg, ev, enc, dec = setup
+
+    def model(B, ct):
+        return B.add(B.square(ct), B.rotate(ct, 1))
+
+    server = SecureInferenceServer(model_fn=model, port=0).start()
+    try:
+        client = SecureInferenceClient(f"localhost:{server.port}")
+        client.init_session_stream(params, relin_key=ev.relin_key,
+                                   galois_keys=ev.galois_keys)
+        rng = np.random.default_rng(2)
+        zs = [rng.uniform(-1, 1, ctx.params.slots) for _ in range(3)]
+        cts = [enc.encrypt(ev.make_plain(z, params.scale, 3)) for z in zs]
+        outs = client.evaluate_stream(cts)
+        for z, out in zip(zs, outs):
+            got = dec.decrypt(out)
+            assert np.allclose(got, z * z + np.roll(z, -1), atol=1e-4)
+    finally:
+        server.stop()
