@@ -220,6 +220,19 @@ class CkksContext:
         step = step % (self.n // 2)
         return pow(5, step, two_n)
 
+    def step_from_elt(self, elt: int):
+        """Inverse of galois_elt_from_step (None for conjugation/unknown)."""
+        tab = getattr(self, "_elt_to_step", None)
+        if tab is None:
+            two_n = 2 * self.n
+            tab = {}
+            g = 1
+            for s in range(self.n // 2):
+                tab[g] = s
+                g = (g * 5) % two_n
+            self._elt_to_step = tab
+        return tab.get(elt)
+
     @property
     def galois_elt_conjugate(self) -> int:
         return 2 * self.n - 1

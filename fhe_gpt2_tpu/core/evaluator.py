@@ -395,12 +395,40 @@ class Evaluator:
         return Ciphertext(
             jnp.stack([add_mod(permuted[0], ks[0], t.q), ks[1]]), a.scale)
 
-    def rotate(self, a: Ciphertext, steps: int) -> Ciphertext:
-        """Rotate slots left by `steps` (rotate_vector semantics)."""
-        steps = steps % (self.ctx.n // 2)
+    def _hops(self, steps: int) -> list[int]:
+        """Decompose a rotation into available key steps.
+
+        Single hop when the exact key exists; otherwise greedy largest-
+        available-step decomposition (the reference's memory_save_rotate,
+        cnn_seal.cpp:788-810) — with a base-b digit key set
+        ({b^k·j, j<b}, keys.digit_steps) any amount needs ≤ log_b(n) hops,
+        shrinking Galois-key memory from one key per distinct amount
+        (383 × ~137 MB for ResNet-20 at logN=15 — far beyond HBM) to ~45.
+        """
+        n2 = self.ctx.n // 2
+        steps %= n2
         if steps == 0:
-            return a
-        return self.apply_galois(a, self.ctx.galois_elt_from_step(steps))
+            return []
+        have = self.galois_keys.step_set(self.ctx) if self.galois_keys else ()
+        if steps in have:
+            return [steps]
+        hops = []
+        rem = steps
+        avail = sorted(have, reverse=True)
+        while rem:
+            nxt = next((s for s in avail if s <= rem), None)
+            assert nxt is not None, (
+                f"no Galois key path for rotation {steps} (have {len(avail)})")
+            hops.append(nxt)
+            rem -= nxt
+        return hops
+
+    def rotate(self, a: Ciphertext, steps: int) -> Ciphertext:
+        """Rotate slots left by `steps` (rotate_vector semantics); composes
+        multiple key switches when the exact key is absent (memory_save)."""
+        for s in self._hops(steps):
+            a = self.apply_galois(a, self.ctx.galois_elt_from_step(s))
+        return a
 
     def rotate_hoisted(self, a: Ciphertext, steps: list[int]) -> list[Ciphertext]:
         """Many rotations of one ciphertext sharing a single digit
@@ -422,15 +450,21 @@ class Evaluator:
             if s == 0:
                 out.append(a)
                 continue
-            elt = ctx.galois_elt_from_step(s)
+            hops = self._hops(s)
+            # First hop rides the shared decomposition; multi-hop residues
+            # key-switch eagerly (memory_save_rotate composition).
+            elt = ctx.galois_elt_from_step(hops[0])
             perm = ctx.galois_perm(elt)
             tp = jnp.take(tpoly, perm, axis=-1)
             acc = _ks_mac_core(tp, self._slice_key(self.galois_keys[elt], l, D), kt)
             ks = self._mod_down_special(acc, l)
             c0p = jnp.take(a.data[0], perm, axis=-1)
             t = self._t(l)
-            out.append(Ciphertext(
-                jnp.stack([add_mod(c0p, ks[0], t.q), ks[1]]), a.scale))
+            r = Ciphertext(
+                jnp.stack([add_mod(c0p, ks[0], t.q), ks[1]]), a.scale)
+            for h in hops[1:]:
+                r = self.apply_galois(r, ctx.galois_elt_from_step(h))
+            out.append(r)
         return out
 
     def make_plain_ext(self, values, scale: float, level: int) -> Plaintext:
@@ -460,15 +494,25 @@ class Evaluator:
         kt, bcts, own, D = self._ks_structs(l)
         p_res, p_shoup = ctx.p_residues(l)
         t = self._t(l)
+        def lift(ct_data):
+            """P·ct in the extended basis (special-limb residues of P·x are
+            exactly zero since every special prime divides P)."""
+            pc = mul_mod_shoup(ct_data, p_res[:l], p_shoup[:l], t.q)
+            pad = jnp.zeros((*pc.shape[:-2], ctx.k_sp, pc.shape[-1]),
+                            pc.dtype)
+            return jnp.concatenate([pc, pad], axis=-2)
+
         tpoly = None
         out = []
         for s in steps:
             s = s % (ctx.n // 2)
             if s == 0:
-                pc = mul_mod_shoup(a.data, p_res[:l], p_shoup[:l], t.q)
-                pad = jnp.zeros((*pc.shape[:-2], ctx.k_sp, pc.shape[-1]),
-                                pc.dtype)
-                out.append(jnp.concatenate([pc, pad], axis=-2))
+                out.append(lift(a.data))
+                continue
+            if len(self._hops(s)) > 1:
+                # No single-hop key: rotate fully (memory_save composition)
+                # and lift the result into the extended basis.
+                out.append(lift(self.rotate(a, s).data))
                 continue
             if tpoly is None:
                 tpoly = _decompose_core(a.data[1], kt, ctx.tables(l), bcts, own)

@@ -122,6 +122,33 @@ class GaloisKeys:
     def __getitem__(self, elt) -> KSwitchKey:
         return self.keys[elt]
 
+    def step_set(self, ctx) -> frozenset:
+        """Rotation steps covered by the held keys (for multi-hop planning)."""
+        cached = getattr(self, "_steps", None)
+        if cached is not None and cached[0] == len(self.keys):
+            return cached[1]
+        steps = frozenset(
+            s for s in (ctx.step_from_elt(e) for e in self.keys)
+            if s is not None)
+        self._steps = (len(self.keys), steps)
+        return steps
+
+
+def digit_steps(slots: int, base: int = 16) -> list[int]:
+    """Base-`base` digit rotation set {j·base^k, 0<j<base}: any step in
+    [0, slots) decomposes into ≤ log_base(slots) hops. ~45 keys at
+    slots=2^14/base=16 vs one key per distinct amount — the Galois-key
+    memory strategy for rotation-heavy models (memory_save_rotate role)."""
+    out = set()
+    b = 1
+    while b < slots:
+        for j in range(1, base):
+            s = j * b
+            if s < slots:
+                out.add(s)
+        b *= base
+    return sorted(out)
+
 
 # Keys are pytrees so jitted programs can take them as *arguments* rather
 # than capturing hundreds of MB of key material as inline HLO constants

@@ -170,6 +170,12 @@ class CkksBackend:
     default_level: int = 0
     min_level_headroom: int = 3
     _plain_cache: dict = field(default_factory=dict)
+    # Sequential cache-key mode (see jit_sealed): when a counter is set,
+    # plaintext cache keys are ("q", seq, level, scale) instead of id(v) —
+    # structurally identical kernels (e.g. two ResNet blocks of the same
+    # stage) then produce pytree-identical caches and share ONE compiled
+    # program, with their different mask encodings riding as arguments.
+    _seq: Optional[list] = None
 
     @property
     def slots(self) -> int:
@@ -180,7 +186,11 @@ class CkksBackend:
         # Keys must be homogeneous tuples ("q"/"ext" tag first): the cache is
         # passed as a jit-argument pytree (jit_sealed) and pytree dicts sort
         # their keys.
-        key = ("q", id(v), level, scale)
+        if self._seq is not None:
+            self._seq[0] += 1
+            key = ("q", self._seq[0], level, scale)
+        else:
+            key = ("q", id(v), level, scale)
         out = self._plain_cache.get(key)
         if out is None:
             v = np.asarray(v)
@@ -409,7 +419,11 @@ class CkksBackend:
         return self.ev.rescale_to_scale(out, delta)
 
     def _plain_ext(self, v: np.ndarray, level: int, scale: float):
-        key = ("ext", id(v), level, scale)
+        if self._seq is not None:
+            self._seq[0] += 1
+            key = ("ext", self._seq[0], level, scale)
+        else:
+            key = ("ext", id(v), level, scale)
         out = self._plain_cache.get(key)
         if out is None:
             out = self.ev.make_plain_ext(np.asarray(v).ravel(), scale, level)
@@ -460,7 +474,32 @@ class CkksBackend:
         return np.real(self.dec.decrypt(a))
 
 
-def jit_sealed(B: "CkksBackend", fn, *example_args):
+def rebind_sealed(call, fn_other, *example_args):
+    """Re-target a seq-keyed jit_sealed program at another structurally
+    identical function (e.g. the next ResNet block of the same stage, same
+    rotation amounts, different weights): fn_other is TRACED host-side only
+    (eval_shape — seconds) to populate a fresh mask cache under the same
+    sequential keys, then the ALREADY-COMPILED program is invoked with that
+    cache as its argument pytree. Zero additional XLA compiles."""
+    import jax
+
+    B, ev, jf = call._B, call._B.ev, call._jf
+    saved_cache, saved_seq = B._plain_cache, B._seq
+    B._plain_cache, B._seq = {}, [0]
+    try:
+        jax.eval_shape(fn_other, *example_args)
+        cache = B._plain_cache
+    finally:
+        B._plain_cache, B._seq = saved_cache, saved_seq
+
+    def call2(*args):
+        return jf(ev.relin_key, ev.galois_keys, cache, *args)
+
+    call2._B, call2._jf = B, jf
+    return call2
+
+
+def jit_sealed(B: "CkksBackend", fn, *example_args, seq_keys: bool = False):
     """jax.jit `fn` with the backend's key material and cached plaintext
     encodings passed as ARGUMENTS rather than captured constants.
 
@@ -483,20 +522,33 @@ def jit_sealed(B: "CkksBackend", fn, *example_args):
     ev = B.ev
 
     def inner(relin, galois, plains, *args):
-        saved = ev.relin_key, ev.galois_keys, B._plain_cache
+        saved = ev.relin_key, ev.galois_keys, B._plain_cache, B._seq
         ev.relin_key, ev.galois_keys = relin, galois
         B._plain_cache = plains
+        B._seq = [0] if seq_keys else None
         try:
             return fn(*args)
         finally:
-            ev.relin_key, ev.galois_keys, B._plain_cache = saved
+            (ev.relin_key, ev.galois_keys, B._plain_cache, B._seq) = saved
 
     # Warm the plaintext-encoding cache host-side (abstract ciphertexts,
     # concrete masks/levels).
-    jax.eval_shape(fn, *example_args)
+    if seq_keys:
+        saved_cache, saved_seq = B._plain_cache, B._seq
+        B._plain_cache, B._seq = {}, [0]
+        try:
+            jax.eval_shape(fn, *example_args)
+            cache = B._plain_cache
+        finally:
+            B._plain_cache, B._seq = saved_cache, saved_seq
+    else:
+        jax.eval_shape(fn, *example_args)
+        cache = None
     jf = jax.jit(inner)
 
     def call(*args):
-        return jf(ev.relin_key, ev.galois_keys, B._plain_cache, *args)
+        return jf(ev.relin_key, ev.galois_keys,
+                  cache if cache is not None else B._plain_cache, *args)
 
+    call._B, call._jf = B, jf
     return call

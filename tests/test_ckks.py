@@ -241,3 +241,42 @@ def test_csprng_backed_keygen():
     ct = enc.encrypt(ev.make_plain(x, params.scale, 3))
     out = ev.rescale(ev.multiply(ct, ct))
     assert np.abs(np.real(dec.decrypt(out)) - x * x).max() < 1e-6
+
+
+def test_multi_hop_rotation_digit_keys():
+    """Rotations with only a base-4 digit key set: every path (plain rotate,
+    hoisted, double-hoisted ext) must match single-step semantics
+    (memory_save_rotate parity, cnn_seal.cpp:788-810)."""
+    from fhe_gpt2_tpu.core.keys import KeyGenerator, digit_steps
+
+    params = CkksParams.create(logn=9, log_q0=50, log_scale=40, num_levels=4,
+                               log_special=51, hamming_weight=32)
+    ctx = CkksContext(params)
+    slots = ctx.params.slots
+    kg = KeyGenerator(ctx, seed=11)
+    dsteps = digit_steps(slots, base=4)
+    ev = Evaluator(ctx, relin_key=kg.relin_key(),
+                   galois_keys=kg.galois_keys(steps=dsteps))
+    enc = Encryptor(ctx, secret=kg.secret, seed=12)
+    dec = Decryptor(ctx, kg.secret)
+    rng = np.random.default_rng(13)
+    x = rng.uniform(-1, 1, slots)
+    ct = enc.encrypt(ev.make_plain(x, params.scale, 4))
+
+    for s in (1, 7, 30, 123, 255):
+        got = np.real(dec.decrypt(ev.rotate(ct, s)))
+        assert np.abs(got - np.roll(x, -s)).max() < 1e-5, s
+
+    outs = ev.rotate_hoisted(ct, [3, 21, 64, 130])
+    for s, o in zip([3, 21, 64, 130], outs):
+        got = np.real(dec.decrypt(o))
+        assert np.abs(got - np.roll(x, -s)).max() < 1e-5, ("hoisted", s)
+
+    # Double-hoisted ext path with a mask-sum over mixed single/multi-hop.
+    from fhe_gpt2_tpu.nn.backend import CkksBackend
+    B = CkksBackend(ctx=ctx, ev=ev, enc=enc, dec=dec, default_level=4)
+    exts = B.lt_hoist_ext([ct], {0: [2, 37]})
+    masks = [np.ones(slots) * 0.5, np.ones(slots) * 0.25]
+    out = B.lt_mask_sum_ext([exts[(0, 2)], exts[(0, 37)]], masks)
+    want = 0.5 * np.roll(x, -2) + 0.25 * np.roll(x, -37)
+    assert np.abs(np.real(dec.decrypt(out)) - want).max() < 1e-5

@@ -138,3 +138,51 @@ def test_encrypted_layer_norm():
     mu = A.mean(-1, keepdims=True)
     true = (A - mu) / np.sqrt(((A - mu) ** 2).mean(-1, keepdims=True)) * gamma + beta
     assert np.abs(got - true).max() < 0.05
+
+
+@pytest.mark.slow
+def test_rebind_sealed_shares_compile():
+    """Two same-structure LT matmuls (different weights) run through ONE
+    compiled program: rebind_sealed re-targets the mask-cache argument pytree
+    without another XLA compile."""
+    from fhe_gpt2_tpu.nn.backend import jit_sealed, rebind_sealed
+
+    rng = np.random.default_rng(4)
+    rows, d = 8, 12
+    lay = TightLayout(rows, d, SLOTS)
+    W1 = rng.standard_normal((d, d)) * 0.3
+    W2 = rng.standard_normal((d, d)) * 0.3
+    A = rng.standard_normal((rows, d)) * 0.5
+    p1 = matmul_spec(W1, lay).bsgs_plan()
+    p2 = matmul_spec(W2, lay).bsgs_plan()
+    assert sorted(p1.baby_amounts) == sorted(p2.baby_amounts)
+
+    rec = RecordingBackend(SLOTS)
+    xs_p = list(lay.pack(A))
+    _ = apply_lt(rec, p1, xs_p)
+    B = make_backend(rec.key_steps())
+    xs_e = [B.from_slots(v) for v in xs_p]
+    datas = tuple(x.data for x in xs_e)
+    scale = xs_e[0].scale
+
+    from fhe_gpt2_tpu.core.evaluator import Ciphertext
+
+    def run(plan):
+        def fn(*ds):
+            xs = [Ciphertext(v, scale) for v in ds]
+            return tuple(o.data for o in apply_lt(B, plan, xs))
+        return fn
+
+    c1 = jit_sealed(B, run(p1), *datas, seq_keys=True)
+    out1 = c1(*datas)
+    c2 = rebind_sealed(c1, run(p2), *datas)
+    out2 = c2(*datas)
+    assert c1._jf._cache_size() == 1, "rebind must not trigger a recompile"
+    want1 = np.stack(apply_lt(PlainBackend(SLOTS), p1, xs_p))
+    want2 = np.stack(apply_lt(PlainBackend(SLOTS), p2, xs_p))
+    ev_out1 = np.stack([np.real(B.dec.decrypt(Ciphertext(o, B.ctx.params.scale)))
+                        for o in out1])
+    ev_out2 = np.stack([np.real(B.dec.decrypt(Ciphertext(o, B.ctx.params.scale)))
+                        for o in out2])
+    assert np.abs(ev_out1 - want1).max() < 1e-4
+    assert np.abs(ev_out2 - want2).max() < 1e-4
