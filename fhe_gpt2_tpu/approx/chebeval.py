@@ -81,9 +81,13 @@ def _split(c: np.ndarray, k: int, giants: list) -> ChebPlanNode:
     return ChebPlanNode(m=m, q=_split(q, k, giants), r=_split(r, k, giants))
 
 
-def eval_plan(B, plan: ChebEvalPlan, x, basis: Optional[dict] = None):
+def eval_plan(B, plan: ChebEvalPlan, x, basis: Optional[dict] = None,
+              target=None):
     """Evaluate p(x) on backend B. x is the *unmapped* value; the affine map
-    to [-1,1] is applied here (t = (2x − hi − lo)/(hi − lo))."""
+    to [-1,1] is applied here (t = (2x − hi − lo)/(hi − lo)).
+
+    `target` (CKKS backends): exact output scale; defaults to the context
+    scale, so the whole plan lands at Δ with zero scale-correction levels."""
     a = 2.0 / (plan.hi - plan.lo)
     b = -(plan.hi + plan.lo) / (plan.hi - plan.lo)
     t = B.add_const(B.mul_const(x, a), b)
@@ -95,7 +99,9 @@ def eval_plan(B, plan: ChebEvalPlan, x, basis: Optional[dict] = None):
         basis[i] = _cheb_from(B, basis, i)
     for g in plan.giants:
         basis[g] = _cheb_from(B, basis, g)
-    return _eval_node(B, plan.root, basis)
+    if target is None and B.scale_of(t) is not None:
+        target = B.ctx.params.scale
+    return _eval_node(B, plan.root, basis, target=target)
 
 
 def _cheb_from(B, basis, i):
@@ -104,6 +110,13 @@ def _cheb_from(B, basis, i):
     if i % 2 == 0 and i // 2 in basis:
         h = basis[i // 2]
         out = B.add_const(B.mul_const(B.square(h), 2.0), -1.0)
+    elif i == 3:
+        # T3 = t·(4t²−3) = t·(2·T2 − 1): integer ×2 and add_const are exact
+        # at any tracked scale, so no cross-scale subtraction is needed
+        # (T3 = 2·T2·T1 − T1 would subtract T1 at a drifted product scale,
+        # costing a scale-correction level on narrow-word engines).
+        out = B.mul(basis[1],
+                    B.add_const(B.mul_const(basis[2], 2.0), -1.0))
     else:
         # T_{a+b} = 2 T_a T_b − T_{a−b}; pick a = largest power in basis < i.
         a = max(k for k in basis if k < i)
@@ -121,14 +134,33 @@ def _cheb_from(B, basis, i):
     return out
 
 
+def _node_level(node: ChebPlanNode, basis) -> Optional[int]:
+    """Static output level of a plan node on a level-tracking backend
+    (None = constant-only node). Mirrors _eval_node's op sequence: leaf
+    terms are one plain multiply below their basis element; products are
+    one rescale below min(level(q), level(T_m)); adds mod-switch to the
+    lower side."""
+    if node.leaf_coeffs is not None:
+        c = node.leaf_coeffs
+        lv = [basis[i].level for i in range(1, len(c)) if abs(c[i]) >= 1e-300]
+        return min(lv) - 1 if lv else None
+    lq = _node_level(node.q, basis)
+    lt = basis[node.m].level
+    lqt = (lt if lq is None else min(lq, lt)) - 1
+    lr = _node_level(node.r, basis)
+    return lqt if lr is None else min(lqt, lr)
+
+
 def _eval_node(B, node: ChebPlanNode, basis, target=None):
     """Evaluate a plan node. `target`: desired exact output scale (CKKS
-    backends only; None = the context default). Leaf terms are plain
+    backends only; None = untracked/plain backend). Leaf terms are plain
     multiplies, whose scale-targeted encoding lands at ANY requested scale
-    for free — so the residual `r` of every q·T_m + r node is aligned to the
-    product's tracked scale with zero extra multiplies or levels (the add
-    then needs no correction). Internal-internal adds (both sides carry a
-    product) fall back to the reduced-error add's exact correction."""
+    for free. For an internal q·T_m + r node the product's scale is
+    predicted from the statically known levels (q's output scale is chosen
+    so that scale(q)·scale(T_m)/q_drop == target), and `r` then targets the
+    product's actual scale — so every add matches exactly and no
+    scale-correction multiplies (extra levels) are ever inserted, even on
+    narrow-word engines where primes sit far from Δ."""
     if node.leaf_coeffs is not None:
         c = node.leaf_coeffs
         acc = None
@@ -143,12 +175,40 @@ def _eval_node(B, node: ChebPlanNode, basis, target=None):
         if len(c) and abs(c[0]) > 0:
             acc = B.add_const(acc, float(c[0]))
         return acc
-    q = _eval_node(B, node.q, basis)
     tm = basis[node.m]
-    if isinstance(q, float):
-        qt = B.mul_const(tm, q, out_scale=target)
+    exact = target is not None and B.scale_of(tm) is not None
+    if exact:
+        lq = _node_level(node.q, basis)
+        if lq is None:
+            q = _eval_node(B, node.q, basis)           # plain float
+            qt = B.mul_const(tm, q, out_scale=target)
+        else:
+            lmul = min(lq, tm.level)
+            delta = B.ctx.params.scale
+            tq = None
+            if lmul >= 2:
+                q_drop = float(B.ctx.moduli[lmul - 1])
+                tq = target * q_drop / B.scale_of(tm)
+            # Keep targets near Δ: a predicted multiply at the chain bottom
+            # (q0 ≫ Δ-sized primes) — or a prediction invalidated by an
+            # auto-bootstrap firing mid-plan — would otherwise push scale
+            # labels far from Δ, and a ciphertext at k·Δ (k ≥ q0·eps/Δ)
+            # cannot be bootstrapped (its message overflows the EvalMod
+            # window). Out-of-range targets fall back to the corrective-add
+            # path, which costs at most one level.
+            if tq is None or not (delta / 8 <= tq <= delta * 8):
+                tq = None
+            q = _eval_node(B, node.q, basis, target=tq)
+            if isinstance(q, float):
+                qt = B.mul_const(tm, q, out_scale=target)
+            else:
+                qt = B.mul(q, tm)
     else:
-        qt = B.mul(q, tm)
+        q = _eval_node(B, node.q, basis)
+        if isinstance(q, float):
+            qt = B.mul_const(tm, q, out_scale=target)
+        else:
+            qt = B.mul(q, tm)
     r = _eval_node(B, node.r, basis, target=B.scale_of(qt))
     if isinstance(r, float):
         return B.add_const(qt, r)

@@ -91,6 +91,7 @@ class ResNetPlans:
     sign: K.SignPlans
     layouts: list
     normalized: bool = False
+    relu_need: int = 0             # levels one ReLU consumes on this engine
 
 
 def build_resnet_plans(weights: dict, depth: int, slots: int,
@@ -162,7 +163,8 @@ def build_resnet_plans(weights: dict, depth: int, slots: int,
                        pool=pool, fc=fc,
                        fc_bias=weights["linear_bias"] / bdiv,
                        relu_bound=relu_bound, sign=sign,
-                       layouts=[lay, l16, lin], normalized=normalize)
+                       layouts=[lay, l16, lin], normalized=normalize,
+                       relu_need=K.sign_depth(sign) + 2)
 
 
 def pack_input(rp: ResNetPlans, img: np.ndarray) -> list:
@@ -182,20 +184,29 @@ def forward_segments(B, rp: ResNetPlans, boot_between: bool = True) -> list:
     unit for device execution — each compiles once and a whole-model graph
     (thousands of rotations) is never materialized."""
 
+    # Bootstrap placement (reference schedule, infer_seal.cpp:465-533:
+    # conv → BN → bootstrap → ReLU): refresh right before each ReLU when the
+    # remaining chain cannot cover the sign composite's measured depth plus
+    # the following conv. No magic level numbers — rp.relu_need is computed
+    # from the actual plans; backend auto-boot remains the safety net when
+    # the post-bootstrap budget is shorter than one ReLU.
+    need = rp.relu_need + 1
+
+    def pre_relu(vs):
+        if not boot_between:
+            return vs
+        return [B.maybe_bootstrap(v, need) for v in vs]
+
     def stem(xs):
         plan, bias, _ = rp.stem
         xs = apply_lt(B, plan, xs)
         xs = [B.add_plain(x, bias[i]) for i, x in enumerate(xs)]
-        return _relu(B, xs, rp)
+        return _relu(B, pre_relu(xs), rp)
 
     def block(xs, blk):
-        if boot_between:
-            xs = [B.maybe_bootstrap(x, 8) for x in xs]
         h = apply_lt(B, blk["plan1"], xs)
         h = [B.add_plain(v, blk["bias1"][i]) for i, v in enumerate(h)]
-        h = _relu(B, h, rp)
-        if boot_between:
-            h = [B.maybe_bootstrap(v, 6) for v in h]
+        h = _relu(B, pre_relu(h), rp)
         h = apply_lt(B, blk["plan2"], h)
         h = [B.add_plain(v, blk["bias2"][i]) for i, v in enumerate(h)]
         res = xs if blk["short"] is None else apply_lt(B, blk["short"], xs)
@@ -203,7 +214,7 @@ def forward_segments(B, rp: ResNetPlans, boot_between: bool = True) -> list:
             res = [B.add_plain(v, blk["short_bias"][i])
                    for i, v in enumerate(res)]
         h = [B.add(a, b) for a, b in zip(h, res)]
-        return _relu(B, h, rp)
+        return _relu(B, pre_relu(h), rp)
 
     def tail(xs):
         xs = apply_lt(B, rp.pool, xs)

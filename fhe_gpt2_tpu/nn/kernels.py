@@ -80,6 +80,17 @@ def sign(B, x, sp: SignPlans):
     return x
 
 
+def sign_depth(sp: SignPlans) -> int:
+    """Multiplicative depth of the composite sign as this engine evaluates
+    it (measured by running the plans on the cost backend, not estimated) —
+    used to place bootstraps ahead of ReLUs instead of magic level numbers."""
+    from ..approx.minimax import _CostBackend
+    d = 0
+    for plan in sp.plans:
+        d += eval_plan(_CostBackend(), plan, 0)
+    return int(d)
+
+
 def relu(B, x, sp: SignPlans, bound: float = 1.0):
     """ReLU(x) for |x| ≤ bound: x·(1+sgn(x/bound))/2 (minimax_ReLU_seal)."""
     s = sign(B, B.mul_const(x, 1.0 / bound), sp)

@@ -31,10 +31,31 @@ def main():
     ap.add_argument("--images", type=int, default=1)
     ap.add_argument("--plain", action="store_true")
     ap.add_argument("--logn", type=int, default=15)
-    ap.add_argument("--levels", type=int, default=20)
+    ap.add_argument("--levels", type=int, default=None,
+                    help="modulus-chain levels (default 20; 30 with "
+                         "--real-boot — the bootstrap pipeline itself "
+                         "consumes 18 levels, leaving L-18 after a refresh)")
     ap.add_argument("--seed", type=int, default=0)
-    ap.add_argument("--nsp", type=int, default=1,
-                    help="special primes (hybrid key-switch digit size)")
+    ap.add_argument("--nsp", type=int, default=None,
+                    help="special primes (hybrid key-switch digit size); "
+                         "default 1 (u64) / 3 (w32)")
+    ap.add_argument("--word", type=int, default=64, choices=[32, 64],
+                    help="engine word size. 32 = uint32 moduli (native TPU "
+                         "int32 VPU path, 25-bit scale): at logN=15 a "
+                         "30-level chain stays under the 881-bit 128-bit-"
+                         "security budget — half the reference's ring for "
+                         "the same depth. 64 = u64 moduli (46-bit scale, "
+                         "reference-parity precision).")
+    ap.add_argument("--hamming", type=int, default=192,
+                    help="sparse secret weight (reference: 192)")
+    ap.add_argument("--boot-K", type=int, default=25,
+                    help="EvalMod integer window (reference: 25 for h=192)")
+    ap.add_argument("--boot-degree", type=int, default=59,
+                    help="EvalMod cosine degree (reference: 59)")
+    ap.add_argument("--sign-log2-err", type=float, default=None,
+                    help="composite-sign target error, log2 (default: -12 "
+                         "u64 / -6 w32, matched to each engine's bootstrap "
+                         "noise floor)")
     ap.add_argument("--jit", action="store_true",
                     help="jit each forward segment (required on TPU)")
     ap.add_argument("--real-boot", action="store_true",
@@ -42,8 +63,12 @@ def main():
                          "(default: fakeBootstrap level reset, like the "
                          "reference's bring-up path util.cpp:266)")
     a = ap.parse_args()
+    if a.nsp is None:
+        a.nsp = 3 if a.word == 32 else 1
+    if a.levels is None:
+        a.levels = 30 if a.real_boot else 20
 
-    from .approx.minimax import auto_schedule
+    from .approx.minimax import dp_schedule
     from .cnn import resnet as R
     from .nn import kernels as K
     from .nn.backend import PlainBackend, RecordingBackend
@@ -51,8 +76,9 @@ def main():
     t0 = time.time()
     weights = R.load_reference_weights(a.depth, a.dataset)
     slots = (1 << (a.logn - 1)) if not a.plain else 16384
+    serr = a.sign_log2_err or (-6.0 if a.word == 32 else -12.0)
     sign = K.SignPlans.from_composite(
-        auto_schedule(target_err=2.0 ** -12, eps=2.0 ** -9))
+        dp_schedule(target_err=2.0 ** serr, eps=2.0 ** (serr + 2)))
     rp = R.build_resnet_plans(weights, a.depth, slots, sign=sign)
     print(f"# plans built in {time.time()-t0:.1f}s "
           f"({len(rp.blocks)} blocks, slots={slots})")
@@ -94,9 +120,14 @@ def _run_encrypted(a, rp, lay, img):
 
     rec = RecordingBackend(rp.slots)
     R.forward(rec, R.pack_input(rp, img), rp, boot_between=False)
-    params = CkksParams.create(
-        logn=a.logn, log_q0=51, log_scale=46, num_levels=a.levels,
-        log_special=51, num_special=a.nsp, hamming_weight=192)
+    if a.word == 32:
+        params = CkksParams.create(
+            logn=a.logn, log_q0=29, log_scale=25, num_levels=a.levels,
+            log_special=31, num_special=a.nsp, hamming_weight=a.hamming)
+    else:
+        params = CkksParams.create(
+            logn=a.logn, log_q0=51, log_scale=46, num_levels=a.levels,
+            log_special=51, num_special=a.nsp, hamming_weight=a.hamming)
     ctx = CkksContext(params)
     kg = KeyGenerator(ctx, seed=1)
     ev = Evaluator(ctx, relin_key=kg.relin_key())
@@ -106,8 +137,12 @@ def _run_encrypted(a, rp, lay, img):
     steps = set(rec.key_steps())
     if a.real_boot:
         from .boot.bootstrap import Bootstrapper, make_evalmod
-        em = make_evalmod(K=12, eps=2 ** -5, degree=45, arcsin_degree=3,
-                          prec_dps=60)
+        # EvalMod window: eps is the actual Δ/q0 of the parameter set; K
+        # covers the modraise overshoot of the h-sparse secret
+        # (infer_seal.cpp:287-322 — the reference uses K=25 for h=192).
+        eps = params.scale / float(ctx.moduli[0])
+        em = make_evalmod(K=a.boot_K, eps=max(eps * 1.05, 2 ** -5),
+                          degree=a.boot_degree, arcsin_degree=3, prec_dps=80)
         B.boot = Bootstrapper(B, evalmod=em)
         steps.update(B.boot.required_steps())
     ev.galois_keys = kg.galois_keys(steps=sorted(steps), conjugate=True)

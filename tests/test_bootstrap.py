@@ -70,6 +70,43 @@ def test_full_bootstrap():
 
 
 @pytest.mark.slow
+def test_full_bootstrap_w32():
+    """Same harness on the uint32 engine (25-bit scale, 29-bit q0): the
+    level budget must match the u64 pipeline exactly (the Chebyshev plan
+    evaluator's exact scale targeting keeps every add correction-free even
+    with primes ~2^-11 off Δ), and the error floor is set by the wider
+    eps = Δ/q0 = 2^-4 EvalMod window times the q0/Δ amplitude."""
+    params = CkksParams.create(
+        logn=LOGN, log_q0=29, log_scale=25, num_levels=LEVELS,
+        log_special=31, num_special=2, hamming_weight=16, sparse_slots=NS)
+    ctx = CkksContext(params)
+    assert ctx.word_bits == 32
+    kg = KeyGenerator(ctx, seed=3)
+    enc = Encryptor(ctx, secret=kg.secret, seed=4)
+    dec = Decryptor(ctx, kg.secret)
+    ev = Evaluator(ctx, relin_key=kg.relin_key())
+    B = CkksBackend(ctx=ctx, ev=ev, enc=enc, dec=dec, default_level=LEVELS)
+    eps = params.scale / float(ctx.moduli[0])
+    em = make_evalmod(K=12, eps=max(eps * 1.05, 2 ** -5), degree=45,
+                      arcsin_degree=3, prec_dps=60)
+    boot = Bootstrapper(B, num_slots=NS, evalmod=em)
+    ev.galois_keys = kg.galois_keys(steps=boot.required_steps(),
+                                    conjugate=True)
+
+    rng = np.random.default_rng(5)
+    z = rng.uniform(-1, 1, NS)
+    ct = enc.encrypt(ev.make_plain(z, params.scale, 1))
+    out = boot.bootstrap(ct)
+    assert out.level >= 4, f"levels remaining after bootstrap: {out.level}"
+    back = np.real(dec.decrypt(out, num_slots=NS))
+    err = np.abs(back - z)
+    print(f"w32 bootstrap: out level {out.level}, mean err {err.mean():.2e}, "
+          f"max err {err.max():.2e}")
+    assert err.mean() < 2e-2
+    assert err.max() < 8e-2
+
+
+@pytest.mark.slow
 def test_auto_bootstrap_in_kernel():
     """Backend auto-boot: a minimax ReLU started on a nearly-exhausted
     ciphertext refreshes itself mid-kernel via the real Bootstrapper — the
@@ -79,6 +116,13 @@ def test_auto_bootstrap_in_kernel():
     from fhe_gpt2_tpu.nn import kernels as K
     from fhe_gpt2_tpu.core.keys import KeyGenerator
 
+    # Deeper chain than the plain bootstrap tests: the pipeline consumes 18
+    # levels (CtS 2 + re/im 1 + EvalMod 12 + recombine 1 + StC 2), so L=28
+    # leaves ~7 usable levels per refresh — enough for a composite-sign
+    # stage to make progress between auto-boots. (At L=22 a refresh lands
+    # right back at the headroom floor, the kernel thrashes, and bootstrap
+    # noise compounds.)
+    LEVELS = 28
     params = CkksParams.create(
         logn=LOGN, log_q0=45, log_scale=40, num_levels=LEVELS,
         log_special=51, hamming_weight=16, sparse_slots=NS)
