@@ -133,24 +133,21 @@ def bench_bootstrap(args):
     z = rng.uniform(-1, 1, ns)
     ct = enc.encrypt(ev.make_plain(z, params.scale, 1))
 
-    def run(data):
-        return boot.bootstrap(Ciphertext(data, params.scale)).data
-
-    # Keys + encoded masks ride as jit arguments (not captured constants):
-    # ~GBs of inline constants otherwise, which breaks remote compile.
-    from fhe_gpt2_tpu.nn.backend import jit_sealed
-    run_j = jit_sealed(B, run, ct.data)
+    # Staged-jit pipeline: each bootstrap stage is its own small program
+    # (keys/masks as jit arguments), compiled once and reused — a single
+    # whole-pipeline program OOMs XLA at production rings.
     t0 = time.time()
-    out = jax.block_until_ready(run_j(ct.data))
+    out_ct = jax.block_until_ready(boot.bootstrap_jitted(ct))
     print(f"# first call (compile) {time.time()-t0:.1f}s", file=sys.stderr)
 
     times = []
     for _ in range(max(1, args.iters)):
         t0 = time.time()
-        out = jax.block_until_ready(run_j(ct.data))
+        out_ct = jax.block_until_ready(boot.bootstrap_jitted(ct))
         times.append(time.time() - t0)
     dt = min(times)
 
+    out = out_ct.data
     back = np.real(dec.decrypt(Ciphertext(out, params.scale), num_slots=ns))
     err = float(np.abs(back - z).mean())
     lvl = out.shape[-2]

@@ -221,44 +221,125 @@ class Bootstrapper:
         return sorted(steps)
 
     # -- pipeline -----------------------------------------------------------
+    #
+    # The pipeline is expressed as a list of stage functions (ct -> ct) over
+    # a NORMALIZED entry point (level 1, scale exactly Δ). Two consumers:
+    #   * bootstrap() composes them inline — used under an enclosing trace
+    #     (auto-boot inside a jitted kernel) and on the plain bring-up path;
+    #   * bootstrap_jitted() jits each stage once (jit_sealed: keys and
+    #     masks as arguments) and reuses the ~8 small programs for every
+    #     refresh in a model run. Whole-pipeline jit at production rings
+    #     OOMs the compiler (observed >115 GB at logN=15); per-stage
+    #     programs compile in minutes and amortize across all bootstraps.
 
-    def bootstrap(self, ct: Ciphertext, **kw) -> Ciphertext:
+    def stages(self) -> list:
+        """[(name, fn)] with fn: list[Ciphertext] -> list[Ciphertext].
+        Entry contract: one ct at level 1, scale exactly Δ. Exit: one ct at
+        target level, scale exactly Δ (value preserved)."""
         B, ctx = self.B, self.ctx
         ev = B.ev
-        assert ct.k == 2
-        delta = ct.scale
-        # Exhaust to level 1 (the reference's util.cpp:318 wrapper).
+        from ..core.evaluator import stack_cts, unstack_cts
+
+        def prep(cts):
+            [ct] = cts
+            q0 = ctx.moduli[0]
+            L = ctx.L
+            t_q0 = ctx.tables((0,))
+            t_full = ctx.tables(L)
+            q0_img = jnp.asarray(ctx.const_residues(q0, tuple(range(L))))
+            raised = _mod_raise_core(ct.data, t_q0, t_full, q0_img,
+                                     jnp.asarray(np.array(q0 >> 1,
+                                                          dtype=ctx.word)))
+            ct = Ciphertext(raised, float(q0))
+            for s in self.subsum_steps:
+                ct = ev.add(ct, ev.rotate(ct, s))
+            return [ct]
+
+        fns = [("prep", prep)]
+        for i, p in enumerate(self.cts_plans):
+            fns.append((f"cts{i}",
+                        lambda cts, p=p: apply_lt(B, p, cts)))
+
+        def split(cts):
+            # Real/imag split, then STACK the two parts on the ciphertext
+            # batch axis: EvalMod (the deepest stage) runs once, batched —
+            # half the NTT work of evaluating re and im separately.
+            [y] = cts
+            yc = ev.conjugate(y)
+            ct_re = B.mul_const(ev.add(y, yc), 0.5)
+            ct_im = B.mul_const(self._mul_neg_i(ev.sub(y, yc)), 0.5)
+            ct_re = ev.mod_switch_to(ct_re, ct_im.level)
+            return [stack_cts([ct_re, ct_im])]
+
+        fns.append(("split", split))
+        fns.append(("evalmod", lambda cts: [eval_mod(B, cts[0], self.em)]))
+
+        def recombine(cts):
+            ct_re, ct_im = unstack_cts(cts[0])
+            return [B.add(ct_re, self._mul_i(ct_im))]
+
+        fns.append(("recombine", recombine))
+        for i, p in enumerate(self.stc_plans):
+            fns.append((f"stc{i}",
+                        lambda cts, p=p: apply_lt(B, p, cts)))
+        return fns
+
+    def _normalize_entry(self, ct: Ciphertext) -> Ciphertext:
+        """Mod-switch to level 1 and pin scale to exactly Δ so every stage
+        sees ONE (shape, level, scale) signature — the staged programs then
+        compile once per model run. Small label drift (≤1e-4, the exact-
+        targeting floor) is absorbed by relabeling; larger drift is fixed
+        with one exact targeted multiply while levels remain."""
+        B, ev = self.B, self.B.ev
+        delta = self.ctx.params.scale
+        ratio = ct.scale / delta
+        if abs(ratio - 1) > 1e-4 and ct.level >= 2:
+            cs = delta * float(self.ctx.moduli[ct.level - 1]) / ct.scale
+            ct = ev.rescale_to_scale(ev.mul_const(ct, 1.0, const_scale=cs),
+                                     delta)
         if ct.level > 1:
             ct = ev.mod_switch_to(ct, 1)
-        q0 = ctx.moduli[0]
-        # ModRaise to the full chain; relabel scale := q0.
-        L = self.ctx.L
-        t_q0 = ctx.tables((0,))
-        t_full = ctx.tables(L)
-        q0_img = jnp.asarray(ctx.const_residues(q0, tuple(range(L))))
-        raised = _mod_raise_core(ct.data, t_q0, t_full, q0_img,
-                                 jnp.asarray(np.array(q0 >> 1,
-                                                      dtype=ctx.word)))
-        ct = Ciphertext(raised, float(q0))
-        # SubSum (sparse slots): project onto the subring.
-        for s in self.subsum_steps:
-            ct = ev.add(ct, ev.rotate(ct, s))
-        # CoeffToSlot: inverse FFT factors, then split real/imag parts.
-        [y] = self._apply(self.cts_plans, [ct])
-        yc = ev.conjugate(y)
-        ct_re = B.mul_const(ev.add(y, yc), 0.5)
-        ct_im_t = ev.sub(y, yc)           # = 2i·imag
-        ct_im = B.mul_const(self._mul_neg_i(ct_im_t), 0.5)
-        # EvalMod both parts: values are (Δ/q0)m + I -> (Δ/q0)m.
-        ct_re = eval_mod(B, ct_re, self.em)
-        ct_im = eval_mod(B, ct_im, self.em)
-        # Recombine y' = re + i·im and SlotToCoeff.
-        y2 = B.add(ct_re, self._mul_i(ct_im))
-        [out] = self._apply(self.stc_plans, [y2])
+        from dataclasses import replace
+        return replace(ct, scale=delta)
+
+    def bootstrap(self, ct: Ciphertext, **kw) -> Ciphertext:
+        assert ct.k == 2
+        delta = ct.scale
+        ct = self._normalize_entry(ct)
+        xs = [ct]
+        for _, fn in self.stages():
+            xs = fn(xs)
+        [out] = xs
         # Output values are already m at the context scale (amplitude folded
         # into the arcsin stage); relabel to the incoming scale exactly.
         from dataclasses import replace
         return replace(out, scale=delta)
+
+    def bootstrap_jitted(self, ct: Ciphertext) -> Ciphertext:
+        """Staged-jit bootstrap for concrete (non-traced) ciphertexts: each
+        stage is its own jit_sealed program, compiled on first use and
+        cached on this Bootstrapper."""
+        assert ct.k == 2
+        delta = ct.scale
+        ct = self._normalize_entry(ct)
+        jfs = getattr(self, "_staged_jit", None)
+        if jfs is None:
+            from ..nn.backend import jit_sealed
+            jfs = []
+            xs = [ct]
+            for name, fn in self.stages():
+                jf = jit_sealed(self.B, fn, xs)
+                jfs.append(jf)
+                xs = jf(xs)
+            self._staged_jit = jfs
+            out = xs
+        else:
+            xs = [ct]
+            for jf in jfs:
+                xs = jf(xs)
+            out = xs
+        from dataclasses import replace
+        return replace(out[0], scale=delta)
 
     def _apply(self, plans, xs):
         for p in plans:

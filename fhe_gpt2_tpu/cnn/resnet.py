@@ -230,19 +230,90 @@ def forward_segments(B, rp: ResNetPlans, boot_between: bool = True) -> list:
 def forward(B, xs, rp: ResNetPlans, boot_between: bool = True, jit=False):
     """Encrypted ResNet forward. xs: planar-packed ct list (usually 1 ct).
 
-    jit=True wraps each segment in jax.jit over the Ciphertext pytrees
-    (scale/level are static aux, so bootstrap placement is resolved at
-    trace time) — required on TPU, where eager per-op dispatch over the
-    device link dominates."""
-    segs = forward_segments(B, rp, boot_between)
+    jit=True (required on TPU, where eager per-op dispatch over the device
+    link dominates) jits fine-grained segments split at the bootstrap
+    boundaries: bootstraps run OUTSIDE the traced segments through the
+    Bootstrapper's staged-jit pipeline (~8 small programs compiled once and
+    reused for every refresh), and segment programs stay small enough to
+    compile — a whole-block trace containing an inlined bootstrap OOMs XLA
+    at production rings. Same-geometry blocks produce structurally
+    identical programs (seq-keyed mask caches), deduped by the persistent
+    compilation cache."""
     if jit:
-        from ..nn.backend import jit_sealed
-        for s in segs:
-            xs = jit_sealed(B, s, xs)(xs)
-        return xs
-    for s in segs:
+        return _forward_jit(B, xs, rp, boot_between)
+    for s in forward_segments(B, rp, boot_between):
         xs = s(xs)
     return xs
+
+
+def _forward_jit(B, xs, rp: ResNetPlans, boot_between: bool = True):
+    from ..nn.backend import jit_sealed
+
+    need = rp.relu_need + 1
+    jcache: dict = {}
+
+    def run(name, fn, vs):
+        # Exact scales in the key: a jit_sealed instance warms its mask
+        # cache for ONE (level, scale) signature — reusing it on drifted
+        # inputs would miss the cache mid-trace and capture masks as
+        # constants. Distinct signatures get their own instance; the
+        # persistent compilation cache dedupes identical programs.
+        key = (name, tuple(v.level for v in vs),
+               tuple(v.scale for v in vs),
+               tuple(v.data.shape for v in vs))
+        jf = jcache.get(key)
+        if jf is None:
+            jf = jit_sealed(B, fn, vs, seq_keys=True)
+            jcache[key] = jf
+        return jf(vs)
+
+    def boot(vs, n=None):
+        if not boot_between:
+            return vs
+        return [B.maybe_bootstrap(v, n if n is not None else need)
+                for v in vs]
+
+    def relu_fn(vs):
+        return _relu(B, vs, rp)
+
+    def stem_fn(vs):
+        plan, bias, _ = rp.stem
+        vs = apply_lt(B, plan, vs)
+        return [B.add_plain(x, bias[i]) for i, x in enumerate(vs)]
+
+    xs = run("stem", stem_fn, xs)
+    xs = run("relu", relu_fn, boot(xs))
+    for bi, blk in enumerate(rp.blocks):
+        geo = (blk["lin"].c, blk["lout"].c, blk["short"] is not None)
+
+        def conv1_fn(vs, blk=blk):
+            h = apply_lt(B, blk["plan1"], vs)
+            return [B.add_plain(v, blk["bias1"][i]) for i, v in enumerate(h)]
+
+        h = run(("conv1", geo), conv1_fn, xs)
+        h = run("relu", relu_fn, boot(h))
+        nh = len(h)
+
+        def conv2_fn(both, blk=blk, nh=nh):
+            h, res_in = both[:nh], both[nh:]
+            v = apply_lt(B, blk["plan2"], h)
+            v = [B.add_plain(t, blk["bias2"][i]) for i, t in enumerate(v)]
+            res = (res_in if blk["short"] is None
+                   else apply_lt(B, blk["short"], res_in))
+            if blk.get("short_bias") is not None:
+                res = [B.add_plain(t, blk["short_bias"][i])
+                       for i, t in enumerate(res)]
+            return [B.add(a, b) for a, b in zip(v, res)]
+
+        h = run(("conv2", geo), conv2_fn, h + xs)
+        xs = run("relu", relu_fn, boot(h))
+
+    def tail_fn(vs):
+        vs = apply_lt(B, rp.pool, vs)
+        vs = apply_lt(B, rp.fc, vs)
+        return [B.add_plain(vs[0], _fc_bias_vec(rp))]
+
+    return run("tail", tail_fn, boot(xs, 3))
 
 
 def _fc_bias_vec(rp: ResNetPlans) -> np.ndarray:

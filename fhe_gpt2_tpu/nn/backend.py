@@ -439,19 +439,14 @@ class CkksBackend:
 
     def bootstrap(self, a, **kw):
         if self.boot is not None:
-            # The bootstrap interprets the message at the context scale: a
-            # ciphertext labeled k·Δ carries coefficients k× larger, and for
-            # k ≳ (q0/Δ)·eps the EvalMod window overflows and the value is
-            # destroyed. Normalize far-off scales with one exact targeted
-            # multiply (value unchanged) before refreshing.
-            delta = self.ctx.params.scale
-            if not (0.67 * delta <= a.scale <= 1.5 * delta) and a.level >= 2:
-                # Direct evaluator ops (not self.mul_const): the backend
-                # wrapper would re-enter _ab → bootstrap on a floor-level
-                # operand and recurse.
-                cs = delta * self._next_prime(a) / a.scale
-                out = self.ev.mul_const(a, 1.0, const_scale=cs)
-                a = self.ev.rescale_to_scale(out, delta)
+            # Entry normalization (level 1, scale exactly Δ) happens inside
+            # the Bootstrapper. Concrete ciphertexts take the staged-jit
+            # path (~8 small programs compiled once per run); inside an
+            # enclosing trace (auto-boot in a jitted kernel) the pipeline
+            # inlines into the caller's program.
+            import jax
+            if not isinstance(a.data, jax.core.Tracer):
+                return self.boot.bootstrap_jitted(a)
             return self.boot.bootstrap(a, **kw)
         # Bring-up path: decrypt/re-encrypt, like the reference's
         # fakeBootstrap (util.cpp:266-275).
