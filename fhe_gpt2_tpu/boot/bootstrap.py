@@ -324,13 +324,24 @@ class Bootstrapper:
         ct = self._normalize_entry(ct)
         jfs = getattr(self, "_staged_jit", None)
         if jfs is None:
+            import os
+            import sys
+            import time
+
+            import jax
+
             from ..nn.backend import jit_sealed
+            verbose = os.environ.get("FHE_BOOT_VERBOSE", "0") != "0"
             jfs = []
             xs = [ct]
             for name, fn in self.stages():
+                t0 = time.time()
                 jf = jit_sealed(self.B, fn, xs)
                 jfs.append(jf)
-                xs = jf(xs)
+                xs = jax.block_until_ready(jf(xs)) if verbose else jf(xs)
+                if verbose:
+                    print(f"# boot stage {name}: compile+run "
+                          f"{time.time()-t0:.1f}s", file=sys.stderr)
             self._staged_jit = jfs
             out = xs
         else:
