@@ -32,7 +32,8 @@ os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "0")
 import numpy as np
 
 
-def _setup(args, hamming=192, sparse_slots=0):
+def _setup(args, hamming=None, sparse_slots=0):
+    hamming = hamming if hamming is not None else args.hamming
     from fhe_gpt2_tpu.core.context import CkksContext, CkksParams
     from fhe_gpt2_tpu.core.evaluator import Decryptor, Encryptor, Evaluator
     from fhe_gpt2_tpu.core.keys import KeyGenerator
@@ -64,7 +65,7 @@ def bench_mult_relin(args):
     import jax
     from fhe_gpt2_tpu.core.evaluator import Ciphertext
 
-    params, ctx, kg, ev, enc, dec = _setup(args)
+    params, ctx, kg, ev, enc, dec = _setup(args, hamming=args.hamming)
     rng = np.random.default_rng(0)
     z = rng.uniform(-1, 1, ctx.params.slots)
     ct = enc.encrypt(ev.make_plain(z, params.scale, args.levels))
@@ -177,6 +178,8 @@ def main():
                     help="EvalMod integer window (reference: 25 for h=192)")
     ap.add_argument("--degree", type=int, default=59,
                     help="EvalMod cosine degree (reference: 59)")
+    ap.add_argument("--hamming", type=int, default=192,
+                    help="sparse secret weight (reference: 192)")
     ap.add_argument("--word", type=int, default=32, choices=[32, 64],
                     help="engine word size: 32 = uint32 moduli (TPU-native, "
                          "~25-bit scale), 64 = uint64 moduli (46-bit scale)")

@@ -194,6 +194,16 @@ class CkksContext:
                 )
         return self._drop_last[level]
 
+    def mod_down_onestep_tables(self, level: int) -> rns.ModDownTables:
+        """One-shot key-switch mod-down tables: divide by P = prod(special)
+        in a single fast base conversion (see rns.ModDownTables)."""
+        key = ("onestep", level)
+        if key not in self._mod_down:
+            with jax.ensure_compile_time_eval():
+                self._mod_down[key] = rns.make_mod_down(
+                    self.moduli[:level], self.special)
+        return self._mod_down[key]
+
     def mod_down_tables(self, level: int, sp: int = 0) -> rns.DropLastTables:
         """Key-switch mod-down tables: divide by special prime `sp`, keeping
         q_0..q_{level-1} + specials 0..sp-1 (specials drop last-to-first)."""

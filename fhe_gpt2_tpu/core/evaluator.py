@@ -144,6 +144,23 @@ def _drop_last_core(x, t_rem, t_last, dlt: DropLastTables):
 
 
 @jax.jit
+def _mod_down_core(x, t_sp, t_q, mdt):
+    """One-shot divide-and-round of NTT-form x[..., l+k, N] by P =
+    prod(special primes): iNTT the k special limbs, centered fast base
+    conversion with float overflow correction into the q basis
+    (rns.mod_down_convert), one NTT of the correction, multiply by P^{-1}.
+    k+l limb transforms vs the per-prime drop loop's ~k·l — the keyswitch
+    mod-down at GPU-CKKS cost, with exact-drop-grade rounding noise."""
+    from .rns import mod_down_convert
+    l = x.shape[-2] - t_sp.q.shape[0]
+    a = nttmod._intt(x[..., l:, :], t_sp)
+    img = mod_down_convert(a, mdt)
+    img = nttmod._ntt(img, t_q)
+    diff = sub_mod(x[..., :l, :], img, t_q.q)
+    return mul_mod_shoup(diff, mdt.inv_p, mdt.inv_p_shoup, t_q.q)
+
+
+@jax.jit
 def _decompose_core(c, kt, lt, bcts, own_mask):
     """Hybrid digit decomposition of c[..., l, N] (NTT form).
 
@@ -358,15 +375,13 @@ class Evaluator:
             jnp.take(ksk.data[:D], jnp.asarray(key_limbs), axis=2), 1, 0)
 
     def _mod_down_special(self, x: jnp.ndarray, level: int) -> jnp.ndarray:
-        """Exact divide-and-round of NTT-form x[..., l+k, N] by P = prod of
-        special primes, dropping them last-to-first."""
+        """Divide-and-round of NTT-form x[..., l+k, N] by P = prod of
+        special primes — one-shot fast base conversion (see _mod_down_core).
+        Bit-identical to the exact per-prime drop when k_sp == 1."""
         ctx = self.ctx
-        for j in range(ctx.k_sp - 1, -1, -1):
-            rem = tuple(range(level)) + tuple(ctx.L + i for i in range(j))
-            x = _drop_last_core(
-                x, ctx.tables(rem), ctx.tables((ctx.L + j,)),
-                ctx.mod_down_tables(level, j))
-        return x
+        sp_idx = tuple(ctx.L + i for i in range(ctx.k_sp))
+        return _mod_down_core(x, ctx.tables(sp_idx), ctx.tables(level),
+                              ctx.mod_down_onestep_tables(level))
 
     def _switch_key(self, c: jnp.ndarray, level: int,
                     ksk: KSwitchKey) -> jnp.ndarray:

@@ -91,15 +91,10 @@ def make_base_conv(src: list[int], dst: list[int]) -> BaseConvTables:
     )
 
 
-def base_convert(x: jnp.ndarray, t: BaseConvTables) -> jnp.ndarray:
-    """Approximate RNS base conversion.
-
-    x: uint64[..., ks, N] coefficients in the source base (coeff domain).
-    Returns uint64[..., kd, N].
-    """
+def base_convert_mac(y: jnp.ndarray, t: BaseConvTables) -> jnp.ndarray:
+    """MAC half of a base conversion from precomputed y_i = [x_i·(S/s_i)^{-1}]:
+    out[..., j, n] = Σ_i y[..., i, n] · (S/s_i) mod d_j."""
     ks, kd = len(t.src), len(t.dst)
-    y = mul_mod_shoup(x, t.inv_punc, t.inv_punc_shoup, t.src_q)  # [..., ks, N]
-    # out[..., j, n] = sum_i y[..., i, n] * punc_mod[i, j]  (mod d_j)
     acc = None
     for i in range(ks):
         yi = y[..., i:i + 1, :]                     # [..., 1, N]
@@ -110,6 +105,16 @@ def base_convert(x: jnp.ndarray, t: BaseConvTables) -> jnp.ndarray:
         )
         acc = term if acc is None else add_mod(acc, term, t.dst_q)
     return acc
+
+
+def base_convert(x: jnp.ndarray, t: BaseConvTables) -> jnp.ndarray:
+    """Approximate RNS base conversion.
+
+    x: uint64[..., ks, N] coefficients in the source base (coeff domain).
+    Returns uint64[..., kd, N].
+    """
+    y = mul_mod_shoup(x, t.inv_punc, t.inv_punc_shoup, t.src_q)  # [..., ks, N]
+    return base_convert_mac(y, t)
 
 
 @dataclass(frozen=True)
@@ -153,6 +158,76 @@ def make_drop_last(remaining: list[int], q_last: int) -> DropLastTables:
         qlast_q=jdt(q_last),
         qlast_r1=jdt(barrett_ratio(q_last, wb)[1]),
     )
+
+
+@dataclass(frozen=True)
+class ModDownTables:
+    """Constants for ONE-SHOT divide-and-round by P = prod(special primes).
+
+    Replaces the special-prime-at-a-time drop loop (k iterations of
+    divide_and_round_q_last, ~k·l limb NTTs) with a single fast base
+    conversion P-basis → Q-basis (Halevi-Polyakov-Shoup approximate
+    mod-down, the scheme every GPU/accelerator CKKS uses): k limb iNTTs +
+    l limb NTTs total. The centered P/2 shift keeps the rounding error at
+    ≤ k integer units — far below the encryption noise floor. For k = 1
+    this is algebraically identical to the exact drop (pinned by the SEAL
+    bit-exact vectors, tests/test_seal_vectors.py).
+    """
+
+    bct: BaseConvTables          # src = special primes, dst = remaining q
+    half_p: jnp.ndarray          # [k,1]  (P>>1) mod p_i
+    half_q: jnp.ndarray          # [l,1]  (P>>1) mod q_j
+    inv_p: jnp.ndarray           # [l,1]  P^{-1} mod q_j
+    inv_p_shoup: jnp.ndarray     # [l,1]
+    p_invf: jnp.ndarray          # [k,1]  float32 1/p_i (overflow estimator)
+    p_mod_q: jnp.ndarray         # [l,1]  P mod q_j
+
+
+_register_table_pytree(ModDownTables, ())
+
+
+def make_mod_down(remaining: list[int], specials: list[int]) -> ModDownTables:
+    dt = word_dtype(list(remaining) + list(specials))
+    wb = word_bits_of(dt)
+    P = 1
+    for p in specials:
+        P *= p
+    half = P >> 1
+    inv = [primes.mod_inverse(P % q, q) for q in remaining]
+    return ModDownTables(
+        bct=make_base_conv(specials, remaining),
+        half_p=_wcol([half % p for p in specials], dt),
+        half_q=_wcol([half % q for q in remaining], dt),
+        inv_p=_wcol(inv, dt),
+        inv_p_shoup=_wcol([shoup(v, q, wb) for v, q in zip(inv, remaining)],
+                          dt),
+        p_invf=jnp.asarray(np.array([1.0 / p for p in specials],
+                                    dtype=np.float32).reshape(-1, 1)),
+        p_mod_q=_wcol([P % q for q in remaining], dt),
+    )
+
+
+def mod_down_convert(a: jnp.ndarray, t: ModDownTables) -> jnp.ndarray:
+    """Centered conversion of a[..., k, N] (residues mod the special primes)
+    into the destination base, with floating-point correction of the fast
+    conversion's +u·P overflow (Halevi-Polyakov-Shoup): u = floor(Σ v_i/p_i)
+    is recovered exactly from a float32 sum (each v_i/p_i ∈ [0,1); error
+    ~k·2^-23 flips a unit only when the fraction sits within that margin of
+    an integer — rare ±1-unit rounding, unbiased). Returns the image of the
+    centered representative minus P/2, i.e. subtracting it from x and
+    multiplying by P^{-1} performs round-to-nearest division by P.
+    """
+    a = add_mod(a, t.half_p, t.bct.src_q)
+    v = mul_mod_shoup(a, t.bct.inv_punc, t.bct.inv_punc_shoup, t.bct.src_q)
+    img = base_convert_mac(v, t.bct)
+    f = jnp.sum(v.astype(jnp.float32) * t.p_invf, axis=-2, keepdims=True)
+    # u ∈ [0, k-1] mathematically (r < kP); the clamp also makes k=1 exactly
+    # u=0 even when float32 rounds (p-1)/p up to 1.0 (k=1 bit-exactness).
+    k = v.shape[-2]
+    u = jnp.clip(jnp.floor(f), 0.0, float(k - 1)).astype(img.dtype)
+    img = sub_mod(img, mul_mod(u, t.p_mod_q, t.bct.dst_q,
+                               t.bct.dst_r0, t.bct.dst_r1), t.bct.dst_q)
+    return sub_mod(img, t.half_q, t.bct.dst_q)
 
 
 def divide_round_last(x: jnp.ndarray, last: jnp.ndarray, t: DropLastTables):
