@@ -331,7 +331,8 @@ class Bootstrapper:
             import jax
 
             from ..nn.backend import jit_sealed
-            verbose = os.environ.get("FHE_BOOT_VERBOSE", "0") != "0"
+            verbose = os.environ.get("FHE_BOOT_VERBOSE", "").lower() in (
+                "1", "true", "yes")
             jfs = []
             xs = [ct]
             for name, fn in self.stages():

@@ -14,11 +14,15 @@ algorithm validation, like the reference's plain_approx.
 from __future__ import annotations
 
 import argparse
+import getpass
 import json
 import os
+import tempfile
 import time
 
-os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_cache_tpu")
+os.environ.setdefault(
+    "JAX_COMPILATION_CACHE_DIR",
+    os.path.join(tempfile.gettempdir(), f"jax_cache_tpu_{getpass.getuser()}"))
 os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "0")
 
 import numpy as np
@@ -66,7 +70,17 @@ def main():
                     help="use the real CKKS bootstrap between blocks "
                          "(default: fakeBootstrap level reset, like the "
                          "reference's bring-up path util.cpp:266)")
+    ap.add_argument("--cpu", action="store_true",
+                    help="force the CPU backend (smoke tests; the axon TPU "
+                         "plugin ignores JAX_PLATFORMS so this must be a "
+                         "config update)")
+    ap.add_argument("--out", default=None,
+                    help="append per-image result JSON lines to this file")
     a = ap.parse_args()
+    if a.cpu:
+        import jax
+        jax.config.update("jax_platforms", "cpu")
+        jax.config.update("jax_enable_x64", True)
     if a.nsp is None:
         a.nsp = 3 if a.word == 32 else 1
     if a.levels is None:
@@ -107,11 +121,23 @@ def main():
         ok = bool(np.argmax(got) == np.argmax(want))
         results.append(dict(image=i, seconds=round(dt, 2),
                             label=int(np.argmax(got)),
-                            oracle_label=int(np.argmax(want)), match=ok))
+                            oracle_label=int(np.argmax(want)), match=ok,
+                            logit_mae=round(float(
+                                np.abs(got - want).mean()), 5)))
         print(json.dumps(results[-1]))
     n_ok = sum(r["match"] for r in results)
-    print(json.dumps({"depth": a.depth, "images": a.images,
-                      "oracle_agreement": n_ok / len(results)}))
+    summary = dict(depth=a.depth, dataset=a.dataset, images=a.images,
+                   logn=a.logn, levels=a.levels, word=a.word, nsp=a.nsp,
+                   real_boot=a.real_boot, jit=a.jit,
+                   oracle_agreement=n_ok / len(results),
+                   seconds_per_image=round(
+                       sum(r["seconds"] for r in results) / len(results), 2))
+    print(json.dumps(summary))
+    if a.out:
+        with open(a.out, "a") as f:
+            for r in results:
+                f.write(json.dumps(r) + "\n")
+            f.write(json.dumps(summary) + "\n")
 
 
 def _run_encrypted(a, rp, lay, img):
