@@ -26,7 +26,12 @@ import os
 import sys
 import time
 
-os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_cache_tpu")
+import getpass
+import tempfile
+
+os.environ.setdefault(
+    "JAX_COMPILATION_CACHE_DIR",
+    os.path.join(tempfile.gettempdir(), f"jax_cache_tpu_{getpass.getuser()}"))
 os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "0")
 
 import numpy as np
@@ -77,20 +82,28 @@ def bench_mult_relin(args):
 
     # Chain the iterations inside one jitted program: the multiply keeps
     # level/shape, so the dependent chain measures pure device throughput
-    # without per-call tunnel dispatch latency.
-    def chain(data):
-        for _ in range(args.iters):
-            data = step(data)
+    # without per-call tunnel dispatch latency. The relin key rides as a
+    # jit ARGUMENT — captured inline it becomes a hundreds-of-MB HLO
+    # constant at logN=16/u64 and overflows remote-compile transports.
+    def chain(relin, data):
+        saved = ev.relin_key
+        ev.relin_key = relin
+        try:
+            for _ in range(args.iters):
+                data = step(data)
+        finally:
+            ev.relin_key = saved
         return data
 
     chain_j = jax.jit(chain)
+    relin = ev.relin_key
     t0 = time.time()
-    out = jax.block_until_ready(chain_j(ct.data))
+    out = jax.block_until_ready(chain_j(relin, ct.data))
     compile_s = time.time() - t0
     print(f"# first call (compile) {compile_s:.1f}s", file=sys.stderr)
 
     t0 = time.time()
-    jax.block_until_ready(chain_j(ct.data))
+    jax.block_until_ready(chain_j(relin, ct.data))
     dt = time.time() - t0
     ops_per_s = args.iters / dt
 

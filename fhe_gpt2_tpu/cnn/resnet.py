@@ -247,23 +247,31 @@ def forward(B, xs, rp: ResNetPlans, boot_between: bool = True, jit=False):
 
 
 def _forward_jit(B, xs, rp: ResNetPlans, boot_between: bool = True):
-    from ..nn.backend import jit_sealed
+    from ..nn.backend import jit_sealed, rebind_sealed
 
     need = rp.relu_need + 1
     jcache: dict = {}
+    struct_cache: dict = {}
 
-    def run(name, fn, vs):
-        # Exact scales in the key: a jit_sealed instance warms its mask
-        # cache for ONE (level, scale) signature — reusing it on drifted
-        # inputs would miss the cache mid-trace and capture masks as
-        # constants. Distinct signatures get their own instance; the
-        # persistent compilation cache dedupes identical programs.
-        key = (name, tuple(v.level for v in vs),
-               tuple(v.scale for v in vs),
+    def run(name, fn, vs, block_id=None):
+        # Two-level cache. Exact key: (name, block, levels, scales, shapes)
+        # — a jit_sealed instance's mask cache belongs to ONE block's
+        # weights at ONE signature; reusing it across same-geometry blocks
+        # would silently apply the first block's weights. Structural key
+        # (no block): same-geometry blocks SHARE the compiled program via
+        # rebind_sealed (host-side eval_shape repopulates the mask cache;
+        # zero additional XLA compiles).
+        sig = (tuple(v.level for v in vs), tuple(v.scale for v in vs),
                tuple(v.data.shape for v in vs))
+        key = (name, block_id, sig)
         jf = jcache.get(key)
         if jf is None:
-            jf = jit_sealed(B, fn, vs, seq_keys=True)
+            base = struct_cache.get((name, sig))
+            if base is None:
+                jf = jit_sealed(B, fn, vs, seq_keys=True)
+                struct_cache[(name, sig)] = jf
+            else:
+                jf = rebind_sealed(base, fn, vs)
             jcache[key] = jf
         return jf(vs)
 
@@ -290,7 +298,7 @@ def _forward_jit(B, xs, rp: ResNetPlans, boot_between: bool = True):
             h = apply_lt(B, blk["plan1"], vs)
             return [B.add_plain(v, blk["bias1"][i]) for i, v in enumerate(h)]
 
-        h = run(("conv1", geo), conv1_fn, xs)
+        h = run(("conv1", geo), conv1_fn, xs, block_id=bi)
         h = run("relu", relu_fn, boot(h))
         nh = len(h)
 
@@ -305,7 +313,7 @@ def _forward_jit(B, xs, rp: ResNetPlans, boot_between: bool = True):
                        for i, t in enumerate(res)]
             return [B.add(a, b) for a, b in zip(v, res)]
 
-        h = run(("conv2", geo), conv2_fn, h + xs)
+        h = run(("conv2", geo), conv2_fn, h + xs, block_id=bi)
         xs = run("relu", relu_fn, boot(h))
 
     def tail_fn(vs):

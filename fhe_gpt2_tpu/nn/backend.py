@@ -211,10 +211,13 @@ class CkksBackend:
 
     # -- arithmetic ---------------------------------------------------------
     def add(self, a, b):
-        return self.ev.add_reduced_error(a, b)
+        # _ab: a reduced-error add with drifted scales needs one corrective
+        # multiply (set_scale_exact) — refresh first when at the level floor,
+        # like every multiplicative op.
+        return self.ev.add_reduced_error(self._ab(a), self._ab(b))
 
     def sub(self, a, b):
-        return self.ev.sub_reduced_error(a, b)
+        return self.ev.sub_reduced_error(self._ab(a), self._ab(b))
 
     def neg(self, a):
         return self.ev.negate(a)
@@ -226,10 +229,19 @@ class CkksBackend:
         """Auto-bootstrap when level headroom is exhausted — the TPU-native
         form of the reference's mid-kernel bootstraps (Fold.cpp:95-96,
         PolyApprox.cpp:570): any multiplicative op refreshes its operand
-        first if a real Bootstrapper is attached and the level is at the
-        floor. Kernels never place bootstraps by hand."""
-        if self.boot is not None and a.level <= self.min_level_headroom:
+        first when the level is at the floor. Kernels never place bootstraps
+        by hand. With no real Bootstrapper the fake decrypt/re-encrypt reset
+        stands in — but only on concrete ciphertexts (it decrypts host-side,
+        impossible under a jit trace; traced kernels must budget levels via
+        maybe_bootstrap scheduling instead)."""
+        if a.level > self.min_level_headroom:
+            return a
+        if self.boot is not None:
             return self.bootstrap(a)
+        if self.dec is not None and self.enc is not None:
+            import jax
+            if not isinstance(a.data, jax.core.Tracer):
+                return self.bootstrap(a)
         return a
 
     def mul(self, a, b):

@@ -41,7 +41,18 @@ def main():
                     help="special primes (hybrid key-switch digit size)")
     ap.add_argument("--real-boot", action="store_true",
                     help="use the real CKKS bootstrap between blocks")
+    ap.add_argument("--decode", type=int, default=0, metavar="N",
+                    help="after the forward, run N autoregressive KV-cache "
+                         "decode steps (optimize.cpp augment_value path) and "
+                         "report per-step seconds + row parity vs the "
+                         "forward pass")
+    ap.add_argument("--cpu", action="store_true",
+                    help="force the CPU backend (smoke tests)")
     a = ap.parse_args()
+    if a.cpu:
+        import jax
+        jax.config.update("jax_platforms", "cpu")
+        jax.config.update("jax_enable_x64", True)
 
     import torch
     from transformers import GPT2Config, GPT2LMHeadModel
@@ -62,10 +73,12 @@ def main():
     plans = M.build_gpt2_plans(sh, weights, a.layers)
     emb = M.embed(plans, ids)
     inits = M.calibrate_newton_inits(sh, weights, a.layers, emb)
+    from .nn.calibrate import calibrate_attn_knobs
+    knobs = calibrate_attn_knobs(sh, weights, a.layers, emb[: a.seq])
+    print(f"# calibrated knobs: {knobs}")
     plans = M.build_gpt2_plans(
         sh, weights, a.layers, newton_inits=inits,
-        attn_overrides=dict(exp_r=8, inv_iters=16, inv_prescale=2.0,
-                            smax_gamma=6.0))
+        attn_overrides=knobs.as_overrides())
 
     with torch.no_grad():
         want = net.transformer(
@@ -77,7 +90,7 @@ def main():
         out = M.forward(B, list(sh.act.pack(emb)), plans)
         got = sh.act.unpack(np.stack(out))
     else:
-        got = _run_encrypted(a, sh, plans, emb)
+        B, got = _run_encrypted(a, sh, plans, emb)
     dt = time.time() - t0
     err = float(np.abs(got - want).max())
     agree = float((M.logits(plans, got).argmax(-1)
@@ -85,6 +98,15 @@ def main():
     print(json.dumps({"layers": a.layers, "mode": "plain" if a.plain else "enc",
                       "seconds": round(dt, 2), "max_err_vs_torch": err,
                       "top1_agreement": agree}))
+    if a.decode:
+        from .nn import kvcache as KV
+        caches = KV.KVCaches.empty(B, sh, len(plans.blocks))
+        for t in range(min(a.decode, a.seq)):
+            t0 = time.time()
+            row = KV.decode_step(B, plans, caches, emb[t], t)
+            print(json.dumps({
+                "decode_step": t, "seconds": round(time.time() - t0, 2),
+                "row_err_vs_forward": float(np.abs(row - got[t]).max())}))
 
 
 def _run_encrypted(a, sh, plans, emb):
@@ -114,10 +136,17 @@ def _run_encrypted(a, sh, plans, emb):
                           prec_dps=60)
         B.boot = Bootstrapper(B, evalmod=em)
         steps.update(B.boot.required_steps())
+    if a.decode:
+        from .nn import kvcache as KV
+        rec = RecordingBackend(sh.slots)
+        rc = KV.KVCaches.empty(rec, sh, len(plans.blocks))
+        for t in range(min(a.decode, a.seq)):
+            KV.decode_step(rec, plans, rc, emb[t], t)
+        steps.update(rec.key_steps())
     ev.galois_keys = kg.galois_keys(steps=sorted(steps), conjugate=True)
     xs = [B.from_slots(v) for v in sh.act.pack(emb)]
     out = M.forward(B, xs, plans)
-    return sh.act.unpack(np.stack([B.to_slots(o) for o in out]))
+    return B, sh.act.unpack(np.stack([B.to_slots(o) for o in out]))
 
 
 if __name__ == "__main__":

@@ -74,6 +74,22 @@ def main():
                     help="force the CPU backend (smoke tests; the axon TPU "
                          "plugin ignores JAX_PLATFORMS so this must be a "
                          "config update)")
+    ap.add_argument("--data-slots", type=int, default=0,
+                    help="logical slot count for the CNN packing (< ring "
+                         "slots): data and masks replicate cyclically over "
+                         "the ring (subring embedding) and the bootstrap "
+                         "runs sparse at this count — the reference's "
+                         "logn1=14-at-logN=16 regime (infer_seal.cpp:287). "
+                         "ResNet tensors need only 16384 slots.")
+    ap.add_argument("--digit-keys", action="store_true",
+                    help="generate the base-16 digit rotation key set (~45 "
+                         "keys) instead of one key per recorded amount "
+                         "(~390); rotations decompose into <=4 hops "
+                         "(memory_save_rotate). Required at logN=16/u64 "
+                         "where exact keys exceed HBM.")
+    ap.add_argument("--boot-factors", type=int, default=2,
+                    help="CtS/StC factorization depth (3 = fewer masks, "
+                         "2 more levels consumed)")
     ap.add_argument("--out", default=None,
                     help="append per-image result JSON lines to this file")
     a = ap.parse_args()
@@ -94,6 +110,9 @@ def main():
     t0 = time.time()
     weights = R.load_reference_weights(a.depth, a.dataset)
     slots = (1 << (a.logn - 1)) if not a.plain else 16384
+    if a.data_slots:
+        assert a.data_slots <= slots and slots % a.data_slots == 0
+        slots = a.data_slots
     serr = a.sign_log2_err or (-6.0 if a.word == 32 else -12.0)
     sign = K.SignPlans.from_composite(
         dp_schedule(target_err=2.0 ** serr, eps=2.0 ** (serr + 2)))
@@ -150,14 +169,17 @@ def _run_encrypted(a, rp, lay, img):
 
     rec = RecordingBackend(rp.slots)
     R.forward(rec, R.pack_input(rp, img), rp, boot_between=False)
+    ss = a.data_slots if a.data_slots else 0
     if a.word == 32:
         params = CkksParams.create(
             logn=a.logn, log_q0=29, log_scale=25, num_levels=a.levels,
-            log_special=31, num_special=a.nsp, hamming_weight=a.hamming)
+            log_special=31, num_special=a.nsp, hamming_weight=a.hamming,
+            sparse_slots=ss)
     else:
         params = CkksParams.create(
             logn=a.logn, log_q0=51, log_scale=46, num_levels=a.levels,
-            log_special=51, num_special=a.nsp, hamming_weight=a.hamming)
+            log_special=51, num_special=a.nsp, hamming_weight=a.hamming,
+            sparse_slots=ss)
     ctx = CkksContext(params)
     kg = KeyGenerator(ctx, seed=1)
     ev = Evaluator(ctx, relin_key=kg.relin_key())
@@ -173,8 +195,12 @@ def _run_encrypted(a, rp, lay, img):
         eps = params.scale / float(ctx.moduli[0])
         em = make_evalmod(K=a.boot_K, eps=max(eps * 1.05, 2 ** -5),
                           degree=a.boot_degree, arcsin_degree=3, prec_dps=80)
-        B.boot = Bootstrapper(B, evalmod=em)
+        B.boot = Bootstrapper(B, evalmod=em, cts_factors=a.boot_factors,
+                              stc_factors=a.boot_factors)
         steps.update(B.boot.required_steps())
+    if a.digit_keys:
+        from .core.keys import digit_steps
+        steps = set(digit_steps(ctx.params.slots, base=16))
     ev.galois_keys = kg.galois_keys(steps=sorted(steps), conjugate=True)
     xs = [B.from_slots(v) for v in R.pack_input(rp, img)]
     out = R.forward(B, xs, rp, jit=a.jit)

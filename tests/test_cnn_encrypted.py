@@ -17,7 +17,8 @@ from fhe_gpt2_tpu.cnn import resnet as R
 from fhe_gpt2_tpu.nn import kernels as K
 from fhe_gpt2_tpu.nn.backend import CkksBackend, RecordingBackend
 
-DEPTH = 8          # n = 1: one block per stage (16, 32, 64)
+DEPTH = 14         # n = 2: same-geometry block pairs per stage exercise the
+                   # compiled-program sharing + rebind path (_forward_jit)
 H = 8              # 8x8 "images"
 LOGN = 11          # 1024 slots: 16*8*8 = 1024 -> 1 ct per 16-wide tensor
 
@@ -67,7 +68,7 @@ def test_mini_resnet_encrypted_vs_oracle():
     slots = 1 << (LOGN - 1)
     sign = K.SignPlans.from_composite(
         dp_schedule(target_err=2.0 ** -7, eps=2.0 ** -5))
-    rp = R.build_resnet_plans(weights, DEPTH, slots, h=H, relu_bound=4.0,
+    rp = R.build_resnet_plans(weights, DEPTH, slots, h=H, relu_bound=10.0,
                               sign=sign)
 
     # Plain run pins algorithm correctness at these shapes first.
@@ -99,5 +100,5 @@ def test_mini_resnet_encrypted_vs_oracle():
     got = R.logits_from_slots(rp, B.to_slots(out[0]))
 
     assert np.argmax(got) == np.argmax(want), (got, want)
-    # Mini-net tolerance: minimax-ReLU dead zone (4*2^-5) plus w32 noise.
+    # Mini-net tolerance: minimax-ReLU dead zone (10*2^-5) plus w32 noise.
     assert np.abs(got - plain).max() < 0.25, np.abs(got - plain).max()
