@@ -126,7 +126,8 @@ def bench_bootstrap(args):
     ns = args.sparse_slots or min(1 << 14, 1 << (args.logn - 2))
     params, ctx, kg, ev, enc, dec = _setup(args, sparse_slots=ns)
     B = CkksBackend(ctx=ctx, ev=ev, enc=enc, dec=dec,
-                    default_level=args.levels)
+                    default_level=args.levels,
+                    no_ext_hoist=bool(args.no_ext_hoist))
     t0 = time.time()
     # Reference-grade EvalMod window (infer_seal.cpp:287-322): K=25 for the
     # h=192 sparse secret, cos degree 59, 2 double-angle iterations; eps is
@@ -193,6 +194,10 @@ def main():
                     help="EvalMod cosine degree (reference: 59)")
     ap.add_argument("--hamming", type=int, default=192,
                     help="sparse secret weight (reference: 192)")
+    ap.add_argument("--no-ext-hoist", action="store_true",
+                    help="single-hoisted LT path (smaller compiled programs; "
+                         "needed at u64/logN=16 where the double-hoisted CtS "
+                         "stage overflows the remote XLA compiler)")
     ap.add_argument("--word", type=int, default=32, choices=[32, 64],
                     help="engine word size: 32 = uint32 moduli (TPU-native, "
                          "~25-bit scale), 64 = uint64 moduli (46-bit scale)")

@@ -211,9 +211,12 @@ def forward_segments(B, rp: ResNetPlans, boot_between: bool = True) -> list:
         h = [B.add_plain(v, blk["bias2"][i]) for i, v in enumerate(h)]
         res = xs if blk["short"] is None else apply_lt(B, blk["short"], xs)
         if blk.get("short_bias") is not None:
-            res = [B.add_plain(v, blk["short_bias"][i])
-                   for i, v in enumerate(res)]
-        h = [B.add(a, b) for a, b in zip(h, res)]
+            res = [B.add_plain(v, blk["short_bias"][i]) if v is not None
+                   else None for i, v in enumerate(res)]
+        # A None residual entry is a zero map output (option-A zero-pad
+        # shortcut at multi-ct layouts: channel-pad destination cts with no
+        # source diagonals).
+        h = [a if b is None else B.add(a, b) for a, b in zip(h, res)]
         return _relu(B, pre_relu(h), rp)
 
     def tail(xs):
@@ -309,9 +312,9 @@ def _forward_jit(B, xs, rp: ResNetPlans, boot_between: bool = True):
             res = (res_in if blk["short"] is None
                    else apply_lt(B, blk["short"], res_in))
             if blk.get("short_bias") is not None:
-                res = [B.add_plain(t, blk["short_bias"][i])
-                       for i, t in enumerate(res)]
-            return [B.add(a, b) for a, b in zip(v, res)]
+                res = [B.add_plain(t, blk["short_bias"][i]) if t is not None
+                       else None for i, t in enumerate(res)]
+            return [a if b is None else B.add(a, b) for a, b in zip(v, res)]
 
         h = run(("conv2", geo), conv2_fn, h + xs, block_id=bi)
         xs = run("relu", relu_fn, boot(h))

@@ -748,8 +748,13 @@ def fake_bootstrap(ct: Ciphertext, dec: Decryptor, enc: Encryptor,
                    ev: Evaluator, target_level: int,
                    scale: Optional[float] = None) -> Ciphertext:
     """Decrypt/re-encrypt level reset — bring-up scaffolding only, mirroring
-    the reference's fakeBootstrap (util.cpp:266-275). Replaced by boot/."""
+    the reference's fakeBootstrap (util.cpp:266-275). Replaced by boot/.
+    Batched ciphertexts refresh element-wise (decode is per-ct)."""
     scale = scale or ev.ctx.params.scale
+    if ct.batch:
+        outs = [fake_bootstrap(c, dec, enc, ev, target_level, scale)
+                for c in unstack_cts(ct)]
+        return stack_cts(outs)
     z = dec.decrypt(ct)
     pt = ev.make_plain(z, scale, target_level)
     return enc.encrypt_symmetric(pt)

@@ -170,6 +170,12 @@ class CkksBackend:
     default_level: int = 0
     min_level_headroom: int = 3
     _plain_cache: dict = field(default_factory=dict)
+    _keepalive: list = field(default_factory=list)
+    # Disable the double-hoisted (extended QP basis) LT path: it is the
+    # fastest route but traces the largest programs — at u64/logN=16 a CtS
+    # stage overflows the remote XLA compile helper. The single-hoisted
+    # fallback compiles in pieces a fraction of the size.
+    no_ext_hoist: bool = False
     # Sequential cache-key mode (see jit_sealed): when a counter is set,
     # plaintext cache keys are ("q", seq, level, scale) instead of id(v) —
     # structurally identical kernels (e.g. two ResNet blocks of the same
@@ -193,6 +199,13 @@ class CkksBackend:
             key = ("q", id(v), level, scale)
         out = self._plain_cache.get(key)
         if out is None:
+            # id()-keyed caching requires the source array to stay alive: a
+            # freed mask's id can be recycled by a DIFFERENT array, silently
+            # hitting the stale entry. Pin every cached source host-side
+            # (not in the cache dict itself — that pytree rides as a jit
+            # argument and must stay device-array-only).
+            if self._seq is None:
+                self._keepalive.append(v)
             v = np.asarray(v)
             if v.ndim > 1 and v.shape[-1] == self.slots:
                 # Batched mask [batch..., slots]: encode each row, stack the
@@ -210,14 +223,27 @@ class CkksBackend:
         return out
 
     # -- arithmetic ---------------------------------------------------------
+    def _add_guard(self, a, b):
+        """A reduced-error add with a non-integer scale ratio needs one
+        corrective multiply (set_scale_exact) — refresh the operands first
+        when at the level floor. Close or integer-ratio scales are free:
+        no refresh, so additive-only pipelines (e.g. PIR answers) never
+        trigger a bootstrap."""
+        from ..core.evaluator import _scales_close
+        if _scales_close(a.scale, b.scale):
+            return a, b
+        f = max(a.scale, b.scale) / min(a.scale, b.scale)
+        if abs(f - round(f)) < 1e-6 * f:
+            return a, b
+        return self._ab(a), self._ab(b)
+
     def add(self, a, b):
-        # _ab: a reduced-error add with drifted scales needs one corrective
-        # multiply (set_scale_exact) — refresh first when at the level floor,
-        # like every multiplicative op.
-        return self.ev.add_reduced_error(self._ab(a), self._ab(b))
+        a, b = self._add_guard(a, b)
+        return self.ev.add_reduced_error(a, b)
 
     def sub(self, a, b):
-        return self.ev.sub_reduced_error(self._ab(a), self._ab(b))
+        a, b = self._add_guard(a, b)
+        return self.ev.sub_reduced_error(a, b)
 
     def neg(self, a):
         return self.ev.negate(a)
@@ -242,6 +268,15 @@ class CkksBackend:
             import jax
             if not isinstance(a.data, jax.core.Tracer):
                 return self.bootstrap(a)
+        return a
+
+    def _ab_rot(self, a):
+        """Level guard for LEVEL-FREE ops (rotations, stacking): refresh only
+        under a real Bootstrapper — a rotation at the level floor is valid,
+        so the fake decrypt/re-encrypt fallback must not fire (it would
+        decrypt mid-pipeline in flows that never need levels, e.g. PIR)."""
+        if self.boot is not None and a.level <= self.min_level_headroom:
+            return self.bootstrap(a)
         return a
 
     def mul(self, a, b):
@@ -296,12 +331,12 @@ class CkksBackend:
         return a.scale
 
     def rotate(self, a, steps: int):
-        return self.ev.rotate(self._ab(a), steps)
+        return self.ev.rotate(self._ab_rot(a), steps)
 
     def rotate_many(self, a, steps):
         """Hoisted multi-rotation (one digit decomposition). The source is
         refreshed once (not per rotation) when the level floor is hit."""
-        return self.ev.rotate_hoisted(self._ab(a), list(steps))
+        return self.ev.rotate_hoisted(self._ab_rot(a), list(steps))
 
     def mul_plain_many_sum(self, values: list, masks: list):
         """Σ_t values[t] ⊙ masks[t] as one batched dyadic multiply + modular
@@ -335,7 +370,7 @@ class CkksBackend:
     # -- batch-axis ops -----------------------------------------------------
     def stack(self, values: list):
         from ..core.evaluator import stack_cts
-        vals = [self._ab(v) for v in values]
+        vals = [self._ab_rot(v) for v in values]
         lvl = min(v.level for v in vals)
         return stack_cts([self.ev.mod_switch_to(v, lvl) for v in vals])
 
@@ -367,7 +402,7 @@ class CkksBackend:
         """
         import jax.numpy as jnp
         from ..core.evaluator import stack_cts
-        srcs = {s: self._ab(xs[s]) for s in needed}
+        srcs = {s: self._ab_rot(xs[s]) for s in needed}
         lvl = min(v.level for v in srcs.values())
         by_amounts: dict = {}
         for src, amounts in needed.items():
@@ -438,6 +473,8 @@ class CkksBackend:
             key = ("ext", id(v), level, scale)
         out = self._plain_cache.get(key)
         if out is None:
+            if self._seq is None:
+                self._keepalive.append(v)
             out = self.ev.make_plain_ext(np.asarray(v).ravel(), scale, level)
             self._plain_cache[key] = out
         return out

@@ -18,16 +18,25 @@ import numpy as np
 from .layers import GPT2Shapes
 
 
+_ROW_MASKS: dict = {}
+
+
 def row_masks(sh: GPT2Shapes, row: int) -> tuple[np.ndarray, np.ndarray]:
-    """(keep_mask, row_mask) over the act layout for one sequence row."""
-    keep = np.ones((sh.act.n_cts, sh.slots))
-    sel = np.zeros((sh.act.n_cts, sh.slots))
-    r = np.full(sh.hidden, row)
-    c = np.arange(sh.hidden)
-    ct, sl = sh.act.place(r, c)
-    keep[ct, sl] = 0.0
-    sel[ct, sl] = 1.0
-    return keep, sel
+    """(keep_mask, row_mask) over the act layout for one sequence row.
+    Memoized: identity-stable arrays for the backend's encoding cache."""
+    key = (sh, row)
+    m = _ROW_MASKS.get(key)
+    if m is None:
+        keep = np.ones((sh.act.n_cts, sh.slots))
+        sel = np.zeros((sh.act.n_cts, sh.slots))
+        r = np.full(sh.hidden, row)
+        c = np.arange(sh.hidden)
+        ct, sl = sh.act.place(r, c)
+        keep[ct, sl] = 0.0
+        sel[ct, sl] = 1.0
+        m = (keep, sel)
+        _ROW_MASKS[key] = m
+    return m
 
 
 def augment(B, cache: list, new: list, sh: GPT2Shapes, row: int) -> list:

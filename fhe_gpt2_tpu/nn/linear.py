@@ -146,7 +146,7 @@ def apply_lt(B, plan: BsgsPlan, xs, level_cost_note: str = ""):
         for terms in per_dst.values():
             for (i, src, _) in terms:
                 needed.setdefault(src, set()).add(i)
-    if hasattr(B, "lt_hoist_ext"):
+    if hasattr(B, "lt_hoist_ext") and not getattr(B, "no_ext_hoist", False):
         # Double-hoisted path: baby rotations stay in the extended QP basis,
         # the masked accumulation runs there, and each destination pays ONE
         # mod-down instead of one per rotation (the per-rotation mod-down is

@@ -90,6 +90,11 @@ def main():
     ap.add_argument("--boot-factors", type=int, default=2,
                     help="CtS/StC factorization depth (3 = fewer masks, "
                          "2 more levels consumed)")
+    ap.add_argument("--batch-images", action="store_true",
+                    help="stack all --images on the ciphertext batch axis "
+                         "and run ONE batched forward (amortized per-image "
+                         "latency; the TPU counterpart of the reference's "
+                         "50-thread OMP image loop, infer_seal.cpp:404)")
     ap.add_argument("--out", default=None,
                     help="append per-image result JSON lines to this file")
     a = ap.parse_args()
@@ -121,33 +126,41 @@ def main():
           f"({len(rp.blocks)} blocks, slots={slots})")
 
     rng = np.random.default_rng(a.seed)
-    lay = rp.layouts[0]
+    # CIFAR test images are stripped from the reference snapshot
+    # (.MISSING_LARGE_BLOBS); random inputs exercise the full pipeline
+    # and are compared against the float oracle.
+    imgs = [rng.uniform(-1, 1, (3, 32, 32)) for _ in range(a.images)]
+    wants = [R.forward_float(weights, a.depth, img) for img in imgs]
     results = []
-    for i in range(a.images):
-        # CIFAR test images are stripped from the reference snapshot
-        # (.MISSING_LARGE_BLOBS); random inputs exercise the full pipeline
-        # and are compared against the float oracle.
-        img = rng.uniform(-1, 1, (3, 32, 32))
-        want = R.forward_float(weights, a.depth, img)
-        t0 = time.time()
-        if a.plain:
-            B = PlainBackend(slots)
+    if a.plain:
+        B = PlainBackend(slots)
+        for i, img in enumerate(imgs):
+            t0 = time.time()
             out = R.forward(B, R.pack_input(rp, img), rp, boot_between=False)
             got = R.logits_from_slots(rp, out[0])
-        else:
-            got = _run_encrypted(a, rp, lay, img)
-        dt = time.time() - t0
-        ok = bool(np.argmax(got) == np.argmax(want))
-        results.append(dict(image=i, seconds=round(dt, 2),
-                            label=int(np.argmax(got)),
-                            oracle_label=int(np.argmax(want)), match=ok,
-                            logit_mae=round(float(
-                                np.abs(got - want).mean()), 5)))
-        print(json.dumps(results[-1]))
+            results.append(_result(i, got, wants[i], time.time() - t0))
+            print(json.dumps(results[-1]))
+    elif a.batch_images:
+        # All images ride the ciphertext batch axis — every conv/ReLU/
+        # bootstrap program runs ONCE for the whole batch (the TPU answer
+        # to the reference's 50-thread OMP image loop, infer_seal.cpp:404).
+        t0 = time.time()
+        logits = _run_encrypted(a, rp, imgs)
+        dt = (time.time() - t0) / len(imgs)
+        for i, (got, want) in enumerate(zip(logits, wants)):
+            results.append(_result(i, got, want, dt))
+            print(json.dumps(results[-1]))
+    else:
+        for i, img in enumerate(imgs):
+            t0 = time.time()
+            [got] = _run_encrypted(a, rp, [img])
+            results.append(_result(i, got, wants[i], time.time() - t0))
+            print(json.dumps(results[-1]))
     n_ok = sum(r["match"] for r in results)
     summary = dict(depth=a.depth, dataset=a.dataset, images=a.images,
                    logn=a.logn, levels=a.levels, word=a.word, nsp=a.nsp,
                    real_boot=a.real_boot, jit=a.jit,
+                   batch_images=bool(a.batch_images),
                    oracle_agreement=n_ok / len(results),
                    seconds_per_image=round(
                        sum(r["seconds"] for r in results) / len(results), 2))
@@ -159,7 +172,16 @@ def main():
             f.write(json.dumps(summary) + "\n")
 
 
-def _run_encrypted(a, rp, lay, img):
+def _result(i, got, want, dt):
+    return dict(image=i, seconds=round(dt, 2), label=int(np.argmax(got)),
+                oracle_label=int(np.argmax(want)),
+                match=bool(np.argmax(got) == np.argmax(want)),
+                logit_mae=round(float(np.abs(got - want).mean()), 5))
+
+
+def _run_encrypted(a, rp, imgs):
+    """Encrypted forward over `imgs` (stacked on the ct batch axis when
+    len > 1). Returns per-image logits."""
     import jax
     from .cnn import resnet as R
     from .core.context import CkksContext, CkksParams
@@ -168,7 +190,7 @@ def _run_encrypted(a, rp, lay, img):
     from .nn.backend import CkksBackend, RecordingBackend
 
     rec = RecordingBackend(rp.slots)
-    R.forward(rec, R.pack_input(rp, img), rp, boot_between=False)
+    R.forward(rec, R.pack_input(rp, imgs[0]), rp, boot_between=False)
     ss = a.data_slots if a.data_slots else 0
     if a.word == 32:
         params = CkksParams.create(
@@ -199,12 +221,23 @@ def _run_encrypted(a, rp, lay, img):
                               stc_factors=a.boot_factors)
         steps.update(B.boot.required_steps())
     if a.digit_keys:
+        # Base-16 digit set only (~45 keys): every rotation — model AND
+        # bootstrap — decomposes into <=4 hops. Exact-step keys at
+        # logN=16/u64 exceed HBM (389 steps x ~190 MB).
         from .core.keys import digit_steps
         steps = set(digit_steps(ctx.params.slots, base=16))
     ev.galois_keys = kg.galois_keys(steps=sorted(steps), conjugate=True)
-    xs = [B.from_slots(v) for v in R.pack_input(rp, img)]
+    packed = [R.pack_input(rp, img) for img in imgs]     # [n_img][n_cts]
+    if len(imgs) == 1:
+        xs = [B.from_slots(v) for v in packed[0]]
+    else:
+        xs = [B.from_slots(np.stack([p[i] for p in packed]))
+              for i in range(len(packed[0]))]
     out = R.forward(B, xs, rp, jit=a.jit)
-    return R.logits_from_slots(rp, B.to_slots(out[0]))
+    slots_out = B.to_slots(out[0])
+    if len(imgs) == 1:
+        return [R.logits_from_slots(rp, slots_out)]
+    return [R.logits_from_slots(rp, slots_out[i]) for i in range(len(imgs))]
 
 
 if __name__ == "__main__":
