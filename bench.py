@@ -183,8 +183,10 @@ def main():
     ap.add_argument("--logn", type=int, default=15)
     ap.add_argument("--levels", type=int, default=22)
     ap.add_argument("--iters", type=int, default=10)
-    ap.add_argument("--nsp", type=int, default=3,
-                    help="special primes = hybrid key-switch digit size")
+    ap.add_argument("--nsp", type=int, default=8,
+                    help="special primes = hybrid key-switch digit size "
+                         "(one-shot mod-down makes large digits cheap: "
+                         "alpha=8 cuts decompose NTTs ~2.2x vs alpha=3)")
     ap.add_argument("--sparse-slots", type=int, default=0)
     ap.add_argument("--factors", type=int, default=2,
                     help="CtS/StC FFT factorization depth")
