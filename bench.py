@@ -206,12 +206,28 @@ def main():
     ap.add_argument("--metric", default="ct_mult_relin",
                     choices=["ct_mult_relin", "bootstrap"])
     args = ap.parse_args()
-    if args.metric == "bootstrap":
-        if args.levels < 20:
-            args.levels = max(args.levels, 22)
-        res = bench_bootstrap(args)
-    else:
-        res = bench_mult_relin(args)
+    try:
+        if args.metric == "bootstrap":
+            if args.levels < 20:
+                args.levels = max(args.levels, 22)
+            res = bench_bootstrap(args)
+        else:
+            res = bench_mult_relin(args)
+    except RuntimeError as e:
+        # The axon TPU tunnel sometimes refuses backend init transiently
+        # (round-4 driver bench died on exactly this). JAX caches the
+        # failed-backend state in-process, so retry via re-exec with
+        # backoff before giving up.
+        if "backend" not in str(e).lower():
+            raise
+        tries = int(os.environ.get("BENCH_BACKEND_RETRIES", "0"))
+        if tries >= 3:
+            raise
+        print(f"# backend init failed ({e}); retry {tries + 1}/3 in 120s",
+              file=sys.stderr)
+        time.sleep(120)
+        os.environ["BENCH_BACKEND_RETRIES"] = str(tries + 1)
+        os.execv(sys.executable, [sys.executable] + sys.argv)
     print(json.dumps(res))
 
 

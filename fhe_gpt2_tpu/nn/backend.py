@@ -170,7 +170,13 @@ class CkksBackend:
     default_level: int = 0
     min_level_headroom: int = 3
     _plain_cache: dict = field(default_factory=dict)
-    _keepalive: list = field(default_factory=list)
+    _keepalive: dict = field(default_factory=dict)
+    # Bound on id()-keyed cache entries (eager paths only; seq-keyed jit
+    # caches are exempt). ndarrays aren't weakref-able, so stale-id safety
+    # pins the source array per entry — an LRU cap keeps a long-lived
+    # process (e.g. the gRPC server) from growing that pin set without
+    # bound; evicted masks are simply re-encoded on next use.
+    max_id_cache: int = 4096
     # Disable the double-hoisted (extended QP basis) LT path: it is the
     # fastest route but traces the largest programs — at u64/logN=16 a CtS
     # stage overflows the remote XLA compile helper. The single-hoisted
@@ -188,6 +194,15 @@ class CkksBackend:
         return self.ctx.params.slots
 
     # -- plaintext encoding cache ------------------------------------------
+    def _pin(self, key, v) -> None:
+        """Pin an id()-keyed cache source and LRU-evict beyond the cap
+        (entry + pin together, so a recycled id can never alias)."""
+        self._keepalive[key] = v
+        while len(self._keepalive) > self.max_id_cache:
+            old = next(iter(self._keepalive))
+            del self._keepalive[old]
+            self._plain_cache.pop(old, None)
+
     def _plain(self, v: np.ndarray, level: int, scale: float) -> Plaintext:
         # Keys must be homogeneous tuples ("q"/"ext" tag first): the cache is
         # passed as a jit-argument pytree (jit_sealed) and pytree dicts sort
@@ -205,7 +220,7 @@ class CkksBackend:
             # (not in the cache dict itself — that pytree rides as a jit
             # argument and must stay device-array-only).
             if self._seq is None:
-                self._keepalive.append(v)
+                self._pin(key, v)
             v = np.asarray(v)
             if v.ndim > 1 and v.shape[-1] == self.slots:
                 # Batched mask [batch..., slots]: encode each row, stack the
@@ -474,7 +489,7 @@ class CkksBackend:
         out = self._plain_cache.get(key)
         if out is None:
             if self._seq is None:
-                self._keepalive.append(v)
+                self._pin(key, v)
             out = self.ev.make_plain_ext(np.asarray(v).ravel(), scale, level)
             self._plain_cache[key] = out
         return out

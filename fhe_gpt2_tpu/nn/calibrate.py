@@ -108,8 +108,7 @@ def calibrate_attn_knobs(sh, weights: dict, n_layers: int,
     x = np.array(sample)
     score_max = 0.0
     gammas = []
-    den_lo, den_hi = np.inf, 0.0
-    arg_lo = 0.0
+    layer_stats = []          # (gamma_i, den_lo_i, den_hi_i, arg_lo_i)
     for i in range(n_layers):
         p = f"transformer.h.{i}." if any(
             k.startswith("transformer.h.") for k in weights) else f"h.{i}."
@@ -134,9 +133,8 @@ def calibrate_attn_knobs(sh, weights: dict, n_layers: int,
         gammas.append(g)
         e = np.exp(np.clip(sc_all - g, -60, 30)) * causal
         den = e.sum(-1)
-        den_lo = min(den_lo, float(den.min()))
-        den_hi = max(den_hi, float(den.max()))
-        arg_lo = min(arg_lo, float((sc_all[:, causal] - g).min(initial=0.0)))
+        layer_stats.append((g, float(den.min()), float(den.max()),
+                            float((sc_all[:, causal] - g).min(initial=0.0))))
         x = x + att @ _get(weights, p + "attn.c_proj.weight") + _get(
             weights, p + "attn.c_proj.bias")
         h2 = ln(x, _get(weights, p + "ln_2.weight"),
@@ -147,6 +145,17 @@ def calibrate_attn_knobs(sh, weights: dict, n_layers: int,
             weights, p + "mlp.c_proj.bias")
 
     gamma = float(np.mean(gammas))
+    # The model runs with ONE pooled γ, so restate each layer's stats at
+    # that γ exactly: den(γ) = den(g_i)·e^{g_i−γ} and arg(γ) = arg(g_i)
+    # + (g_i − γ). (Accumulating raw per-layer-γ stats understates the
+    # denominator spread by e^{|g_i−γ|}, which can push the Goldschmidt
+    # input outside (0,2) on models with real γ spread.)
+    den_lo, den_hi, arg_lo = np.inf, 0.0, 0.0
+    for g_i, lo_i, hi_i, a_i in layer_stats:
+        f = math.exp(g_i - gamma)
+        den_lo = min(den_lo, lo_i * f)
+        den_hi = max(den_hi, hi_i * f)
+        arg_lo = min(arg_lo, a_i + (g_i - gamma))
     # exp ladder: |x| ≤ A := max(|arg_lo|, score range). Relative ladder
     # error ≈ A²/2^(r+1); the causal −1e9 fills never reach exp (masked).
     A = max(abs(arg_lo), gamma + score_max, 1.0)
