@@ -44,7 +44,15 @@ def _setup(args, hamming=None, sparse_slots=0):
     from fhe_gpt2_tpu.core.keys import KeyGenerator
 
     t0 = time.time()
-    if args.word == 32:
+    if args.composite:
+        # uint32 engine + composite two-prime scaling: Δ = q·q′ ≈ 2^50 on
+        # <2^31 moduli — u64-grade precision at 32-bit arithmetic cost.
+        # --levels counts logical levels (pairs).
+        params = CkksParams.create_composite(
+            logn=args.logn, num_levels=args.levels, log_scale=50, log_q0=55,
+            log_special=31, num_special=args.nsp, hamming_weight=hamming,
+            sparse_slots=sparse_slots)
+    elif args.word == 32:
         # uint32 engine: native int32 VPU multiplies + Pallas four-step NTT.
         params = CkksParams.create(
             logn=args.logn, log_q0=29, log_scale=25, num_levels=args.levels,
@@ -55,6 +63,8 @@ def _setup(args, hamming=None, sparse_slots=0):
             logn=args.logn, log_q0=51, log_scale=46, num_levels=args.levels,
             log_special=51, num_special=args.nsp, hamming_weight=hamming,
             sparse_slots=sparse_slots)
+    if args.composite:
+        args.levels = len(params.moduli)   # limb count for downstream uses
     ctx = CkksContext(params)
     kg = KeyGenerator(ctx, seed=1)
     ev = Evaluator(ctx, relin_key=kg.relin_key())
@@ -110,7 +120,8 @@ def bench_mult_relin(args):
     baseline_cpu = 8.0
     return {
         "metric": f"ct_mult_relin_ops_per_s_chip_logN{args.logn}"
-                  f"_L{args.levels}_w{args.word}",
+                  f"_L{args.levels}_w{args.word}"
+                  + ("c" if args.composite else ""),
         "value": round(ops_per_s, 3),
         "unit": "ops/s",
         "vs_baseline": round(ops_per_s / baseline_cpu, 2),
@@ -132,7 +143,7 @@ def bench_bootstrap(args):
     # Reference-grade EvalMod window (infer_seal.cpp:287-322): K=25 for the
     # h=192 sparse secret, cos degree 59, 2 double-angle iterations; eps is
     # the actual Δ/q0 of the parameter set (the modraise fraction bound).
-    eps = params.scale / float(ctx.moduli[0])
+    eps = params.scale / ctx.q0_float
     em = make_evalmod(K=args.K, eps=max(eps * 1.05, 2 ** -5),
                       degree=args.degree, arcsin_degree=3, prec_dps=80)
     boot = Bootstrapper(B, num_slots=ns, cts_factors=args.factors,
@@ -146,7 +157,7 @@ def bench_bootstrap(args):
 
     rng = np.random.default_rng(3)
     z = rng.uniform(-1, 1, ns)
-    ct = enc.encrypt(ev.make_plain(z, params.scale, 1))
+    ct = enc.encrypt(ev.make_plain(z, params.scale, ctx.base_limbs))
 
     # Staged-jit pipeline: each bootstrap stage is its own small program
     # (keys/masks as jit arguments), compiled once and reused — a single
@@ -203,6 +214,10 @@ def main():
     ap.add_argument("--word", type=int, default=32, choices=[32, 64],
                     help="engine word size: 32 = uint32 moduli (TPU-native, "
                          "~25-bit scale), 64 = uint64 moduli (46-bit scale)")
+    ap.add_argument("--composite", action="store_true",
+                    help="uint32 engine with composite two-prime scaling "
+                         "(Δ = q·q′ ≈ 2^50): u64-grade precision, 32-bit "
+                         "arithmetic; --levels counts pairs")
     ap.add_argument("--metric", default="ct_mult_relin",
                     choices=["ct_mult_relin", "bootstrap"])
     args = ap.parse_args()

@@ -134,20 +134,20 @@ def _cheb_from(B, basis, i):
     return out
 
 
-def _node_level(node: ChebPlanNode, basis) -> Optional[int]:
+def _node_level(node: ChebPlanNode, basis, g: int = 1) -> Optional[int]:
     """Static output level of a plan node on a level-tracking backend
     (None = constant-only node). Mirrors _eval_node's op sequence: leaf
     terms are one plain multiply below their basis element; products are
-    one rescale below min(level(q), level(T_m)); adds mod-switch to the
-    lower side."""
+    one rescale (g limbs; pairs under composite scaling) below
+    min(level(q), level(T_m)); adds mod-switch to the lower side."""
     if node.leaf_coeffs is not None:
         c = node.leaf_coeffs
         lv = [basis[i].level for i in range(1, len(c)) if abs(c[i]) >= 1e-300]
-        return min(lv) - 1 if lv else None
-    lq = _node_level(node.q, basis)
+        return min(lv) - g if lv else None
+    lq = _node_level(node.q, basis, g)
     lt = basis[node.m].level
-    lqt = (lt if lq is None else min(lq, lt)) - 1
-    lr = _node_level(node.r, basis)
+    lqt = (lt if lq is None else min(lq, lt)) - g
+    lr = _node_level(node.r, basis, g)
     return lqt if lr is None else min(lqt, lr)
 
 
@@ -178,16 +178,17 @@ def _eval_node(B, node: ChebPlanNode, basis, target=None):
     tm = basis[node.m]
     exact = target is not None and B.scale_of(tm) is not None
     if exact:
-        lq = _node_level(node.q, basis)
+        ctx = B.ctx
+        lq = _node_level(node.q, basis, ctx.rescale_limbs)
         if lq is None:
             q = _eval_node(B, node.q, basis)           # plain float
             qt = B.mul_const(tm, q, out_scale=target)
         else:
             lmul = min(lq, tm.level)
-            delta = B.ctx.params.scale
+            delta = ctx.params.scale
             tq = None
-            if lmul >= 2:
-                q_drop = float(B.ctx.moduli[lmul - 1])
+            if lmul - ctx.rescale_limbs >= ctx.base_limbs:
+                q_drop = ctx.rescale_divisor(lmul)
                 tq = target * q_drop / B.scale_of(tm)
             # Keep targets near Δ: a predicted multiply at the chain bottom
             # (q0 ≫ Δ-sized primes) — or a prediction invalidated by an

@@ -58,6 +58,29 @@ def _mod_raise_core(x, t_q0, t_full, q0_img, q0_half):
     return nttmod._ntt(r, t_full)
 
 
+@jax.jit
+def _mod_raise_core2(x, t_base, t_full, q0_img, consts):
+    """Composite-base ModRaise: x uint32[k, 2, N] NTT form mod (q0a, q0b)
+    -> uint32[k, L, N] NTT form mod the full chain.
+
+    Garner CRT-combine the two base limbs into X < Q0 = q0a·q0b (< 2**62,
+    uint64 intermediate — one small step, everything else stays 32-bit),
+    centered-lift, and reduce into each target modulus with 64-bit Barrett
+    tables (q64/ratio64 precomputed host-side)."""
+    from ..core.modmath import mul_mod_shoup
+    (q0a, q0b, inv_a, inv_a_sh, x0b_r1, q0_half, q64, r64) = consts
+    coeff = nttmod._intt(x, t_base)                    # [k, 2, N] u32
+    x0 = coeff[..., 0, :]
+    x1 = coeff[..., 1, :]
+    x0b = barrett_reduce(x0, q0b, x0b_r1)              # x0 mod q0b
+    t = mul_mod_shoup(sub_mod(x1, x0b, q0b), inv_a, inv_a_sh, q0b)
+    X = x0.astype(jnp.uint64) + jnp.uint64(q0a) * t.astype(jnp.uint64)
+    big = X > q0_half                                  # centered lift test
+    r = barrett_reduce(X[..., None, :], q64, r64).astype(x.dtype)
+    r = jnp.where(big[..., None, :], sub_mod(r, q0_img, t_full.q), r)
+    return nttmod._ntt(r, t_full)
+
+
 # ---------------------------------------------------------------------------
 # EvalMod polynomial generation (ModularReducer semantics)
 # ---------------------------------------------------------------------------
@@ -187,8 +210,10 @@ class Bootstrapper:
         self.ns = num_slots or (ctx.params.sparse_slots or self.n)
         self.target_level = target_level or ctx.L
         em = evalmod or make_evalmod()
-        # Fold q0/Δ into the output amplitude (see scale bookkeeping note).
-        self.em = em.with_amplitude(float(ctx.moduli[0]) / ctx.params.scale)
+        # Fold Q0/Δ into the output amplitude (see scale bookkeeping note).
+        # Q0 is the base-limb product (a single prime classically; a pair
+        # under composite scaling).
+        self.em = em.with_amplitude(ctx.q0_float / ctx.params.scale)
         two_n_sub = 4 * self.ns
         exp_sub = (ctx.exp_of_slot[: self.ns] % two_n_sub).astype(np.int64)
         rep = self.n // self.ns
@@ -242,15 +267,35 @@ class Bootstrapper:
 
         def prep(cts):
             [ct] = cts
-            q0 = ctx.moduli[0]
+            Q0 = ctx.q0_int
             L = ctx.L
-            t_q0 = ctx.tables((0,))
             t_full = ctx.tables(L)
-            q0_img = jnp.asarray(ctx.const_residues(q0, tuple(range(L))))
-            raised = _mod_raise_core(ct.data, t_q0, t_full, q0_img,
-                                     jnp.asarray(np.array(q0 >> 1,
-                                                          dtype=ctx.word)))
-            ct = Ciphertext(raised, float(q0))
+            q0_img = jnp.asarray(ctx.const_residues(Q0, tuple(range(L))))
+            if ctx.base_limbs == 1:
+                t_q0 = ctx.tables((0,))
+                raised = _mod_raise_core(
+                    ct.data, t_q0, t_full, q0_img,
+                    jnp.asarray(np.array(Q0 >> 1, dtype=ctx.word)))
+            else:
+                assert ctx.base_limbs == 2, "composite base is a pair"
+                from ..core.modmath import shoup as _shoup, barrett_ratio
+                q0a, q0b = ctx.moduli[0], ctx.moduli[1]
+                inv_a = pow(q0a, -1, q0b)
+                w = ctx.word_bits
+                consts = (
+                    np.array(q0a, dtype=np.uint64),
+                    np.array(q0b, dtype=ctx.word),
+                    np.array(inv_a, dtype=ctx.word),
+                    np.array(_shoup(inv_a, q0b, w), dtype=ctx.word),
+                    np.array(barrett_ratio(q0b, w)[1], dtype=ctx.word),
+                    np.array(Q0 >> 1, dtype=np.uint64),
+                    np.array([[q] for q in ctx.moduli[:L]], dtype=np.uint64),
+                    np.array([[barrett_ratio(q, 64)[1]]
+                              for q in ctx.moduli[:L]], dtype=np.uint64),
+                )
+                raised = _mod_raise_core2(ct.data, ctx.tables((0, 1)),
+                                          t_full, q0_img, consts)
+            ct = Ciphertext(raised, float(Q0))
             for s in self.subsum_steps:
                 ct = ev.add(ct, ev.rotate(ct, s))
             return [ct]
@@ -285,20 +330,23 @@ class Bootstrapper:
         return fns
 
     def _normalize_entry(self, ct: Ciphertext) -> Ciphertext:
-        """Mod-switch to level 1 and pin scale to exactly Δ so every stage
+        """Mod-switch to the base level (1 limb classically, the base pair
+        under composite scaling) and pin scale to exactly Δ so every stage
         sees ONE (shape, level, scale) signature — the staged programs then
         compile once per model run. Small label drift (≤1e-4, the exact-
         targeting floor) is absorbed by relabeling; larger drift is fixed
         with one exact targeted multiply while levels remain."""
         B, ev = self.B, self.B.ev
-        delta = self.ctx.params.scale
+        ctx = self.ctx
+        delta = ctx.params.scale
         ratio = ct.scale / delta
-        if abs(ratio - 1) > 1e-4 and ct.level >= 2:
-            cs = delta * float(self.ctx.moduli[ct.level - 1]) / ct.scale
+        if (abs(ratio - 1) > 1e-4
+                and ct.level - ctx.rescale_limbs >= ctx.base_limbs):
+            cs = delta * ctx.rescale_divisor(ct.level) / ct.scale
             ct = ev.rescale_to_scale(ev.mul_const(ct, 1.0, const_scale=cs),
                                      delta)
-        if ct.level > 1:
-            ct = ev.mod_switch_to(ct, 1)
+        if ct.level > ctx.base_limbs:
+            ct = ev.mod_switch_to(ct, ctx.base_limbs)
         from dataclasses import replace
         return replace(ct, scale=delta)
 

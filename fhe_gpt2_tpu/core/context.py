@@ -33,6 +33,12 @@ class CkksParams:
     hamming_weight: int = 0     # sparse ternary secret weight (0 = dense)
     sparse_slots: int = 0       # bootstrap sparse slot count (0 = n/2)
     error_std: float = 3.2
+    # Composite scaling (uint32 engine at u64-grade precision): each logical
+    # level is `rescale_limbs` primes whose product ≈ scale, and the
+    # bootstrap base modulus is the product of the first `base_limbs` primes.
+    # 1/1 = classic single-prime scaling.
+    rescale_limbs: int = 1
+    base_limbs: int = 1
 
     @property
     def levels(self) -> int:
@@ -86,6 +92,44 @@ class CkksParams:
             sparse_slots=sparse_slots,
         )
 
+    @staticmethod
+    def create_composite(logn: int, num_levels: int, log_scale: int = 50,
+                         log_q0: int = 55, log_special: int = 31,
+                         num_special: int = 3, hamming_weight: int = 0,
+                         sparse_slots: int = 0) -> "CkksParams":
+        """Composite two-prime scaling chain on <2**31 moduli (uint32
+        engine): Δ = q·q′ ≈ 2**log_scale per level, base modulus
+        Q0 = q0·q0′ ≈ 2**log_q0. Each rescale drops a pair; encode/rescale
+        rounding noise is 2**-log_scale-grain — u64-engine precision from
+        TPU-native 32-bit arithmetic. (The measured single-prime w32
+        bootstrap noise floor — Δ=2**25 grain amplified ~10³ through
+        EvalMod — is structural; this is the fix.)"""
+        n = 1 << logn
+        two_n = 2 * n
+        q0 = primes.gen_prime_pairs(log_q0, 1, two_n)
+        used = set(q0)
+        chain = primes.gen_prime_pairs(log_scale, num_levels, two_n,
+                                       exclude=used)
+        used |= set(chain)
+        sp = []
+        below = None
+        while len(sp) < num_special:
+            cands = primes.gen_primes(log_special, num_special + len(used),
+                                      two_n, below=below)
+            sp = [p for p in cands if p not in used][:num_special]
+            below = cands[-1]
+        assert max(q0 + chain + sp) < (1 << 31), "composite chain must be u32"
+        return CkksParams(
+            n=n,
+            moduli=tuple(q0 + chain),
+            special=tuple(sp),
+            scale=float(2 ** log_scale),
+            hamming_weight=hamming_weight,
+            sparse_slots=sparse_slots,
+            rescale_limbs=2,
+            base_limbs=2,
+        )
+
 
 class CkksContext:
     """Precomputed device constants for one parameter set.
@@ -130,6 +174,33 @@ class CkksContext:
             g = g * 5 % (2 * self.n)
         self.slot_to_index = index_of[self.exp_of_slot]
         self.conj_slot_to_index = index_of[(2 * self.n - self.exp_of_slot) % (2 * self.n)]
+
+    # -- composite-scaling geometry -----------------------------------------
+
+    @property
+    def rescale_limbs(self) -> int:
+        """Limbs one rescale drops (pairs under composite scaling)."""
+        return self.params.rescale_limbs
+
+    @property
+    def base_limbs(self) -> int:
+        """Limbs forming the bootstrap base modulus Q0."""
+        return self.params.base_limbs
+
+    @property
+    def q0_int(self) -> int:
+        """Base modulus Q0 = prod(moduli[:base_limbs]) as an exact int."""
+        return math.prod(self.moduli[: self.base_limbs])
+
+    @property
+    def q0_float(self) -> float:
+        return float(self.q0_int)
+
+    def rescale_divisor(self, level: int) -> float:
+        """What the next rescale at `level` divides the scale by: the
+        product of the rescale_limbs trailing primes."""
+        return float(math.prod(
+            self.moduli[level - self.rescale_limbs: level]))
 
     # -- table accessors ----------------------------------------------------
 

@@ -338,13 +338,19 @@ class Evaluator:
             x, self.ctx.tables(rem_limbs), self.ctx.tables((last_limb,)), dlt)
 
     def rescale(self, a: Ciphertext) -> Ciphertext:
-        """Divide by q_{l-1}: drops one limb, scale /= q_{l-1}."""
-        l = a.level
-        assert l >= 2, "rescale at level 1: out of levels (bootstrap needed)"
-        dlt = self.ctx.drop_last_tables(l)
-        data = self._ntt_drop_last(
-            a.data, tuple(range(l - 1)), l - 1, dlt)
-        return Ciphertext(data, a.scale / self.ctx.moduli[l - 1])
+        """Divide by the trailing rescale unit — one prime q_{l-1}, or the
+        trailing PAIR under composite scaling (rescale_limbs=2), where one
+        logical rescale is two exact single-prime divide-and-rounds."""
+        g = self.ctx.rescale_limbs
+        assert a.level - g >= self.ctx.base_limbs, (
+            "rescale at the chain floor: out of levels (bootstrap needed)")
+        for _ in range(g):
+            l = a.level
+            dlt = self.ctx.drop_last_tables(l)
+            data = self._ntt_drop_last(
+                a.data, tuple(range(l - 1)), l - 1, dlt)
+            a = Ciphertext(data, a.scale / self.ctx.moduli[l - 1])
+        return a
 
     def mod_switch_drop(self, a: Ciphertext, levels: int = 1) -> Ciphertext:
         """Drop limbs without scaling (mod_switch_to_next)."""
@@ -562,8 +568,9 @@ class Evaluator:
         relative error; this lands exactly (reference counterpart: the
         encode-at-matching-scale reduced-error ops, evaluator.h:1269-1283)."""
         l = a.level
-        assert l >= 2, "set_scale_exact: out of levels"
-        q_last = self.ctx.moduli[l - 1]
+        assert l - self.ctx.rescale_limbs >= self.ctx.base_limbs, (
+            "set_scale_exact: out of levels")
+        q_last = self.ctx.rescale_divisor(l)
         cs = target * q_last / a.scale
         out = self.mul_plain(a, self.make_plain(
             np.ones(1, dtype=np.float64), cs, l))

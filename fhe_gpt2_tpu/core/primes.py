@@ -95,6 +95,49 @@ def gen_primes_balanced(log_scale: int, count: int, two_n: int,
     return out
 
 
+def gen_prime_pairs(log_scale2: int, count: int, two_n: int,
+                    exclude: set | None = None,
+                    half_bits: int | None = None) -> list[int]:
+    """`count` PAIRS of NTT-friendly primes (2·count primes, flat list) with
+    each pair's product as close as possible to 2**log_scale2 — the composite
+    two-prime scaling chain for the uint32 engine (Δ = q·q′ ≈ 2**50 built
+    from <2**31 moduli; the fix for the measured Δ=2**25-grain bootstrap
+    noise floor).
+
+    For each pair the first prime alternates just-above/just-below
+    2**(log_scale2/2); the partner is the admissible prime nearest
+    2**log_scale2 / first. With candidate spacing two_n the product lands
+    within a relative ~two_n/2**(log_scale2/2) of the target (≈2**-11 at
+    50/2-bit halves, logN=15) — inside rescale_to_scale's drift tolerance,
+    and the exact product is tracked in the ciphertext scale anyway."""
+    exclude = set(exclude or ())
+    half = half_bits if half_bits is not None else log_scale2 // 2
+    target2 = 1 << log_scale2
+    anchor = 1 << half
+
+    def nearest(t: int) -> int:
+        """Admissible prime ≡ 1 mod two_n nearest to t (not excluded)."""
+        base = t - (t % two_n) + 1
+        for step in range(0, 1 << 16):
+            for c in (base + step * two_n, base - step * two_n):
+                if c > two_n and is_prime(c) and c not in exclude:
+                    return c
+        raise ValueError("no admissible prime near target")
+
+    out: list[int] = []
+    for _ in range(count):
+        # `nearest` searches outward symmetrically and skips excluded
+        # primes, so successive pa picks straddle the anchor; pb compensates
+        # each pa exactly, keeping every pair product independently ≈ Δ
+        # (pair drift does not accumulate across the chain).
+        pa = nearest(anchor)
+        exclude.add(pa)
+        pb = nearest(target2 // pa)
+        exclude.add(pb)
+        out += [pa, pb]
+    return out
+
+
 def primitive_root(p: int) -> int:
     """Smallest generator of (Z/p)*; p must be prime."""
     phi = p - 1

@@ -264,7 +264,17 @@ class CkksBackend:
         return self.ev.negate(a)
 
     def _next_prime(self, a) -> float:
-        return float(self.ctx.moduli[a.level - 1])
+        """What the next rescale divides by (a prime, or a pair product
+        under composite scaling)."""
+        return self.ctx.rescale_divisor(a.level)
+
+    @property
+    def _floor(self) -> int:
+        """Level floor below which multiplicative ops refresh first:
+        min_level_headroom logical levels above the bootstrap base."""
+        ctx = self.ctx
+        return (ctx.base_limbs - 1
+                + self.min_level_headroom * ctx.rescale_limbs)
 
     def _ab(self, a):
         """Auto-bootstrap when level headroom is exhausted — the TPU-native
@@ -275,7 +285,7 @@ class CkksBackend:
         stands in — but only on concrete ciphertexts (it decrypts host-side,
         impossible under a jit trace; traced kernels must budget levels via
         maybe_bootstrap scheduling instead)."""
-        if a.level > self.min_level_headroom:
+        if a.level > self._floor:
             return a
         if self.boot is not None:
             return self.bootstrap(a)
@@ -290,7 +300,7 @@ class CkksBackend:
         under a real Bootstrapper — a rotation at the level floor is valid,
         so the fake decrypt/re-encrypt fallback must not fire (it would
         decrypt mid-pipeline in flows that never need levels, e.g. PIR)."""
-        if self.boot is not None and a.level <= self.min_level_headroom:
+        if self.boot is not None and a.level <= self._floor:
             return self.bootstrap(a)
         return a
 
@@ -364,7 +374,7 @@ class CkksBackend:
         a0 = values[0]
         lvl = min(v.level for v in values)
         delta = self.ctx.params.scale
-        cs = delta * float(self.ctx.moduli[lvl - 1]) / a0.scale
+        cs = delta * self.ctx.rescale_divisor(lvl) / a0.scale
         stacked = jnp.stack([v.data[..., :lvl, :] for v in values], axis=1)
         pts = jnp.stack(
             [self._plain(m, lvl, cs).data for m in masks])     # [T, l, N]
@@ -468,7 +478,7 @@ class CkksBackend:
         assert all(_scales_close(e.scale, e0.scale) for e in exts), \
             "lt_mask_sum_ext: mixed ext scales would be mis-weighted"
         delta = self.ctx.params.scale
-        cs = delta * float(self.ctx.moduli[lvl - 1]) / e0.scale
+        cs = delta * self.ctx.rescale_divisor(lvl) / e0.scale
         pts = jnp.stack([self._plain_ext(m, lvl, cs).data for m in masks])
         stacked = jnp.stack([e.data for e in exts], axis=1)  # [2, T, ..., lk, N]
         batch_ndim = stacked.ndim - 4
@@ -520,7 +530,12 @@ class CkksBackend:
                               self.default_level or self.ctx.L)
 
     def maybe_bootstrap(self, a, need_levels: int):
-        if a.level <= need_levels + 1:
+        # need_levels counts LOGICAL levels (multiplicative depth); convert
+        # to limbs for the comparison (rescale_limbs per mult, above the
+        # bootstrap base).
+        ctx = self.ctx
+        limbs = need_levels * ctx.rescale_limbs + ctx.base_limbs
+        if a.level <= limbs:
             return self.bootstrap(a)
         return a
 

@@ -54,6 +54,12 @@ def main():
                          "security budget — half the reference's ring for "
                          "the same depth. 64 = u64 moduli (46-bit scale, "
                          "reference-parity precision).")
+    ap.add_argument("--composite", action="store_true",
+                    help="uint32 engine with composite two-prime scaling "
+                         "(Δ = q·q′ ≈ 2^50, Q0 ≈ 2^55): u64-grade precision "
+                         "at 32-bit arithmetic cost — the bootstrapped-run "
+                         "engine of choice on TPU. --levels counts logical "
+                         "levels (pairs).")
     ap.add_argument("--hamming", type=int, default=192,
                     help="sparse secret weight (reference: 192)")
     ap.add_argument("--boot-K", type=int, default=25,
@@ -103,7 +109,7 @@ def main():
         jax.config.update("jax_platforms", "cpu")
         jax.config.update("jax_enable_x64", True)
     if a.nsp is None:
-        a.nsp = 3 if a.word == 32 else 1
+        a.nsp = 3 if (a.word == 32 or a.composite) else 1
     if a.levels is None:
         a.levels = 30 if a.real_boot else 20
 
@@ -118,7 +124,8 @@ def main():
     if a.data_slots:
         assert a.data_slots <= slots and slots % a.data_slots == 0
         slots = a.data_slots
-    serr = a.sign_log2_err or (-6.0 if a.word == 32 else -12.0)
+    serr = a.sign_log2_err or (
+        -6.0 if (a.word == 32 and not a.composite) else -12.0)
     sign = K.SignPlans.from_composite(
         dp_schedule(target_err=2.0 ** serr, eps=2.0 ** (serr + 2)))
     rp = R.build_resnet_plans(weights, a.depth, slots, sign=sign)
@@ -158,7 +165,8 @@ def main():
             print(json.dumps(results[-1]))
     n_ok = sum(r["match"] for r in results)
     summary = dict(depth=a.depth, dataset=a.dataset, images=a.images,
-                   logn=a.logn, levels=a.levels, word=a.word, nsp=a.nsp,
+                   logn=a.logn, levels=a.levels, word=a.word,
+                   composite=bool(a.composite), nsp=a.nsp,
                    real_boot=a.real_boot, jit=a.jit,
                    batch_images=bool(a.batch_images),
                    oracle_agreement=n_ok / len(results),
@@ -192,7 +200,12 @@ def _run_encrypted(a, rp, imgs):
     rec = RecordingBackend(rp.slots)
     R.forward(rec, R.pack_input(rp, imgs[0]), rp, boot_between=False)
     ss = a.data_slots if a.data_slots else 0
-    if a.word == 32:
+    if a.composite:
+        params = CkksParams.create_composite(
+            logn=a.logn, num_levels=a.levels, log_scale=50, log_q0=55,
+            log_special=31, num_special=a.nsp, hamming_weight=a.hamming,
+            sparse_slots=ss)
+    elif a.word == 32:
         params = CkksParams.create(
             logn=a.logn, log_q0=29, log_scale=25, num_levels=a.levels,
             log_special=31, num_special=a.nsp, hamming_weight=a.hamming,
@@ -203,18 +216,19 @@ def _run_encrypted(a, rp, imgs):
             log_special=51, num_special=a.nsp, hamming_weight=a.hamming,
             sparse_slots=ss)
     ctx = CkksContext(params)
+    lvl = len(params.moduli) if a.composite else a.levels
     kg = KeyGenerator(ctx, seed=1)
     ev = Evaluator(ctx, relin_key=kg.relin_key())
     enc = Encryptor(ctx, secret=kg.secret, seed=2)
     dec = Decryptor(ctx, kg.secret)
-    B = CkksBackend(ctx=ctx, ev=ev, enc=enc, dec=dec, default_level=a.levels)
+    B = CkksBackend(ctx=ctx, ev=ev, enc=enc, dec=dec, default_level=lvl)
     steps = set(rec.key_steps())
     if a.real_boot:
         from .boot.bootstrap import Bootstrapper, make_evalmod
         # EvalMod window: eps is the actual Δ/q0 of the parameter set; K
         # covers the modraise overshoot of the h-sparse secret
         # (infer_seal.cpp:287-322 — the reference uses K=25 for h=192).
-        eps = params.scale / float(ctx.moduli[0])
+        eps = params.scale / ctx.q0_float
         em = make_evalmod(K=a.boot_K, eps=max(eps * 1.05, 2 ** -5),
                           degree=a.boot_degree, arcsin_degree=3, prec_dps=80)
         B.boot = Bootstrapper(B, evalmod=em, cts_factors=a.boot_factors,

@@ -86,7 +86,7 @@ def test_full_bootstrap_w32():
     dec = Decryptor(ctx, kg.secret)
     ev = Evaluator(ctx, relin_key=kg.relin_key())
     B = CkksBackend(ctx=ctx, ev=ev, enc=enc, dec=dec, default_level=LEVELS)
-    eps = params.scale / float(ctx.moduli[0])
+    eps = params.scale / ctx.q0_float
     em = make_evalmod(K=12, eps=max(eps * 1.05, 2 ** -5), degree=45,
                       arcsin_degree=3, prec_dps=60)
     boot = Bootstrapper(B, num_slots=NS, evalmod=em)
