@@ -265,6 +265,20 @@ class CkksContext:
                 )
         return self._drop_last[level]
 
+    def rescale_pair_tables(self, level: int) -> rns.ModDownTables:
+        """One-shot composite rescale tables: divide by the trailing
+        rescale_limbs primes in a single fast base conversion (same
+        HPS mod-down as the key-switch path) — g limb iNTTs + one NTT of
+        the correction instead of g sequential exact drops (2·g small
+        transforms)."""
+        g = self.rescale_limbs
+        key = ("pair", level)
+        if key not in self._mod_down:
+            with jax.ensure_compile_time_eval():
+                self._mod_down[key] = rns.make_mod_down(
+                    self.moduli[: level - g], self.moduli[level - g: level])
+        return self._mod_down[key]
+
     def mod_down_onestep_tables(self, level: int) -> rns.ModDownTables:
         """One-shot key-switch mod-down tables: divide by P = prod(special)
         in a single fast base conversion (see rns.ModDownTables)."""

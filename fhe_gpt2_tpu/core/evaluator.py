@@ -341,16 +341,24 @@ class Evaluator:
         """Divide by the trailing rescale unit — one prime q_{l-1}, or the
         trailing PAIR under composite scaling (rescale_limbs=2), where one
         logical rescale is two exact single-prime divide-and-rounds."""
-        g = self.ctx.rescale_limbs
-        assert a.level - g >= self.ctx.base_limbs, (
+        ctx = self.ctx
+        g = ctx.rescale_limbs
+        assert a.level - g >= ctx.base_limbs, (
             "rescale at the chain floor: out of levels (bootstrap needed)")
-        for _ in range(g):
-            l = a.level
-            dlt = self.ctx.drop_last_tables(l)
+        l = a.level
+        if g == 1:
+            dlt = ctx.drop_last_tables(l)
             data = self._ntt_drop_last(
                 a.data, tuple(range(l - 1)), l - 1, dlt)
-            a = Ciphertext(data, a.scale / self.ctx.moduli[l - 1])
-        return a
+        else:
+            # One-shot drop of the trailing pair (HPS fast base conversion,
+            # same core as the key-switch mod-down): g limb iNTTs + one NTT
+            # instead of g sequential exact drops.
+            data = _mod_down_core(
+                a.data, ctx.tables(tuple(range(l - g, l))),
+                ctx.tables(l - g), ctx.rescale_pair_tables(l))
+        return Ciphertext(data, a.scale / float(
+            np.prod([ctx.moduli[i] for i in range(l - g, l)])))
 
     def mod_switch_drop(self, a: Ciphertext, levels: int = 1) -> Ciphertext:
         """Drop limbs without scaling (mod_switch_to_next)."""

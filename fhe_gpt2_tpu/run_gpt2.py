@@ -39,6 +39,10 @@ def main():
     ap.add_argument("--levels", type=int, default=40)
     ap.add_argument("--nsp", type=int, default=1,
                     help="special primes (hybrid key-switch digit size)")
+    ap.add_argument("--composite", action="store_true",
+                    help="uint32 engine with composite two-prime scaling "
+                         "(Δ = q·q′ ≈ 2^50): u64-grade precision at 32-bit "
+                         "arithmetic cost; --levels counts pairs")
     ap.add_argument("--real-boot", action="store_true",
                     help="use the real CKKS bootstrap between blocks")
     ap.add_argument("--decode", type=int, default=0, metavar="N",
@@ -118,11 +122,16 @@ def _run_encrypted(a, sh, plans, emb):
 
     rec = RecordingBackend(sh.slots)
     M.forward(rec, list(sh.act.pack(emb)), plans)
-    levels = a.levels
-    params = CkksParams.create(
-        logn=a.logn, log_q0=50, log_scale=40, num_levels=levels,
-        log_special=51, num_special=a.nsp, hamming_weight=64)
+    if a.composite:
+        params = CkksParams.create_composite(
+            logn=a.logn, num_levels=a.levels, log_scale=50, log_q0=55,
+            log_special=31, num_special=max(a.nsp, 3), hamming_weight=64)
+    else:
+        params = CkksParams.create(
+            logn=a.logn, log_q0=50, log_scale=40, num_levels=a.levels,
+            log_special=51, num_special=a.nsp, hamming_weight=64)
     ctx = CkksContext(params)
+    levels = len(params.moduli) if a.composite else a.levels
     assert ctx.params.slots == sh.slots
     kg = KeyGenerator(ctx, seed=1)
     ev = Evaluator(ctx, relin_key=kg.relin_key())
@@ -132,8 +141,9 @@ def _run_encrypted(a, sh, plans, emb):
     steps = set(rec.key_steps())
     if a.real_boot:
         from .boot.bootstrap import Bootstrapper, make_evalmod
-        em = make_evalmod(K=12, eps=2 ** -5, degree=45, arcsin_degree=3,
-                          prec_dps=60)
+        eps = params.scale / ctx.q0_float
+        em = make_evalmod(K=12, eps=max(eps * 1.05, 2 ** -5), degree=45,
+                          arcsin_degree=3, prec_dps=60)
         B.boot = Bootstrapper(B, evalmod=em)
         steps.update(B.boot.required_steps())
     if a.decode:
