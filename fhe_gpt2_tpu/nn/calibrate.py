@@ -81,6 +81,103 @@ def fit_consmax_gamma(scores: np.ndarray, lo: float = -5.0,
     return float((a + b) / 2)
 
 
+def _collect_layer_scores(sh, weights, n_layers, sample):
+    """Plain forward over `sample` collecting per-layer masked score tensors
+    [heads, S, S] (the shared front half of calibrate_attn_knobs /
+    train_consmax)."""
+    d, dh, S = sh.hidden, sh.dh, sample.shape[0]
+    causal = np.tril(np.ones((S, S))) > 0
+
+    def ln(M, g, b):
+        mu = M.mean(-1, keepdims=True)
+        v = ((M - mu) ** 2).mean(-1, keepdims=True)
+        return (M - mu) / np.sqrt(v + 1e-5) * g + b
+
+    def gelu(v):
+        erf = np.vectorize(math.erf)
+        return v / 2 * (1 + erf(v / np.sqrt(2)))
+
+    x = np.array(sample)
+    out = []
+    for i in range(n_layers):
+        p = f"transformer.h.{i}." if any(
+            k.startswith("transformer.h.") for k in weights) else f"h.{i}."
+        h = ln(x, _get(weights, p + "ln_1.weight"),
+               _get(weights, p + "ln_1.bias"))
+        cw = _get(weights, p + "attn.c_attn.weight")
+        cb = _get(weights, p + "attn.c_attn.bias")
+        wq, wk, wv = np.split(cw, 3, -1)
+        bq, bk, bv = np.split(cb, 3, -1)
+        Q, K_, V = h @ wq + bq, h @ wk + bk, h @ wv + bv
+        att = np.zeros_like(h)
+        layer_scores = []
+        for hd in range(sh.heads):
+            sl = slice(hd * dh, (hd + 1) * dh)
+            sc = Q[:, sl] @ K_[:, sl].T / np.sqrt(dh)
+            scm = np.where(causal, sc, -1e9)
+            layer_scores.append(scm)
+            att[:, sl] = _softmax(scm) @ V[:, sl]
+        out.append(np.stack(layer_scores))
+        x = x + att @ _get(weights, p + "attn.c_proj.weight") + _get(
+            weights, p + "attn.c_proj.bias")
+        h2 = ln(x, _get(weights, p + "ln_2.weight"),
+                _get(weights, p + "ln_2.bias"))
+        m = gelu(h2 @ _get(weights, p + "mlp.c_fc.weight") +
+                 _get(weights, p + "mlp.c_fc.bias"))
+        x = x + m @ _get(weights, p + "mlp.c_proj.weight") + _get(
+            weights, p + "mlp.c_proj.bias")
+    return out, causal
+
+
+def train_consmax(sh, weights: dict, n_layers: int, sample: np.ndarray,
+                  iters: int = 400, lr: float = 0.05):
+    """Train per-layer, PER-HEAD ConsMax β/γ by gradient descent — the
+    counterpart of the reference's learnable ApproxSoftmax
+    (gpt2_approx_checkpoint_2.py:37-83: X ← exp(X − β)/γ with β, γ
+    nn.Parameters trained end-to-end). Here the objective is distillation
+    against the true softmax on the sample's masked scores: per head,
+    minimize E‖exp(s−β)/γ − softmax(s)‖² (Adam). The constant denominator
+    removes the row-sum fold AND the Goldschmidt inverse from the encrypted
+    path (attention(softmax="consmax")).
+
+    Returns (betas, gammas): lists of per-layer float64 arrays [heads],
+    installable via build_gpt2_plans(attn_overrides={"softmax_mode":
+    "consmax", "consmax_beta": betas, "consmax_gamma": gammas}).
+    """
+    import torch
+
+    scores_per_layer, causal = _collect_layer_scores(
+        sh, weights, n_layers, sample)
+    mask = torch.tensor(causal, dtype=torch.float64)
+    betas, gammas = [], []
+    for sc_np in scores_per_layer:
+        sc = torch.tensor(sc_np, dtype=torch.float64)    # [H, S, S]
+        tgt = torch.softmax(torch.where(mask > 0, sc, torch.tensor(-1e9)),
+                            dim=-1) * mask
+        # Init: β at the per-head causal max (range control, like the
+        # reference's beta_start), γ at the mean row sum of exp(s−β0).
+        with torch.no_grad():
+            sc_m = torch.where(mask > 0, sc, torch.tensor(-1e30))
+            b0 = sc_m.amax(dim=(-2, -1))
+            e0 = torch.exp(torch.clamp(sc - b0[:, None, None],
+                                       -60.0, 30.0)) * mask
+            g0 = e0.sum(-1).mean(-1)
+        beta = b0.clone().requires_grad_(True)
+        log_gamma = torch.log(torch.clamp(g0, min=1e-6)).requires_grad_(True)
+        opt = torch.optim.Adam([beta, log_gamma], lr=lr)
+        for _ in range(iters):
+            opt.zero_grad()
+            e = torch.exp(torch.clamp(sc - beta[:, None, None],
+                                      -60.0, 30.0)) * mask
+            cs = e / torch.exp(log_gamma)[:, None, None]
+            loss = ((cs - tgt) ** 2).mean()
+            loss.backward()
+            opt.step()
+        betas.append(beta.detach().numpy().astype(np.float64))
+        gammas.append(np.exp(log_gamma.detach().numpy()).astype(np.float64))
+    return betas, gammas
+
+
 def calibrate_attn_knobs(sh, weights: dict, n_layers: int,
                          sample: np.ndarray, tol: float = 1e-3,
                          margin: float = 1.25) -> AttnKnobs:

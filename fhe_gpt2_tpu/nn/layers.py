@@ -93,6 +93,16 @@ class AttnPlans:
     # masked −max_bound−m arguments).
     sign: Optional[object] = None
     max_bound: float = 8.0
+    # Default softmax path for block()/model forwards: "smax" (constant-γ
+    # shift + Goldschmidt row normalization), "max" (real quickMax softmax),
+    # or "consmax" (the reference's trained ApproxSoftmax,
+    # gpt2_approx_checkpoint_2.py:37-83: exp(s−β)/γ with PER-HEAD learned
+    # β/γ and a CONSTANT denominator — no fold, no inverse; the cheapest
+    # path homomorphically). consmax_beta/gamma: per-head arrays [heads],
+    # e.g. from calibrate.train_consmax.
+    softmax_mode: str = "smax"
+    consmax_beta: Optional[np.ndarray] = None
+    consmax_gamma: Optional[np.ndarray] = None
     _chunks: dict = field(default_factory=dict, repr=False)
 
     def chunk_arrays(self, lo: int, hi: int) -> tuple:
@@ -106,6 +116,24 @@ class AttnPlans:
                    np.ascontiguousarray(self.spill_row[lo:hi]),
                    causal,
                    (causal - 1.0) * self.max_bound)
+            self._chunks[key] = out
+        return out
+
+    def consmax_arrays(self, sh: "GPT2Shapes", lo: int, hi: int) -> tuple:
+        """Memoized ConsMax operand arrays for a Δ chunk: (−β broadcast
+        [C, n_cts, slots], causal·γ⁻¹ [C, n_cts, slots]). β is per TARGET
+        head, constant across Δ; γ⁻¹ is folded into the causal mask so the
+        constant denominator costs zero extra ops."""
+        key = ("consmax", lo, hi)
+        out = self._chunks.get(key)
+        if out is None:
+            bneg = expand_row_vector(
+                sh, -np.repeat(np.asarray(self.consmax_beta), sh.dh))
+            inv_g = expand_row_vector(
+                sh, np.repeat(1.0 / np.asarray(self.consmax_gamma), sh.dh))
+            out = (np.ascontiguousarray(
+                       np.broadcast_to(bneg, (hi - lo, *bneg.shape))),
+                   np.ascontiguousarray(self.causal_zero[lo:hi] * inv_g))
             self._chunks[key] = out
         return out
 
@@ -289,7 +317,8 @@ def _max_over_batch(B, x, size: int, sp, bound: float):
     return m
 
 
-def attention(B, xs, sh: GPT2Shapes, ap: AttnPlans, softmax: str = "smax",
+def attention(B, xs, sh: GPT2Shapes, ap: AttnPlans,
+              softmax: Optional[str] = None,
               smax_gamma: Optional[float] = None, delta_chunk: int = 0,
               kv: Optional[tuple] = None):
     """Diagonal-form multi-head attention (see module docstring), batched
@@ -311,6 +340,7 @@ def attention(B, xs, sh: GPT2Shapes, ap: AttnPlans, softmax: str = "smax",
     the KV-cache decode path (optimize.cpp / layers.cpp:44-50): the caller
     projects and cache-augments K/V itself and attention only projects Q.
     """
+    softmax = softmax or ap.softmax_mode
     smax_gamma = ap.smax_gamma if smax_gamma is None else smax_gamma
     q = B.stack(_apply_matmul(B, ap.q, xs, ap.qb))
     if kv is None:
@@ -353,6 +383,19 @@ def attention(B, xs, sh: GPT2Shapes, ap: AttnPlans, softmax: str = "smax",
             exps.append(e)
             part = B.reduce_sum_batch(e, 0)
             denom = part if denom is None else B.add(denom, part)
+    elif softmax == "consmax":
+        # Trained ConsMax (ApproxSoftmax, gpt2_approx_checkpoint_2.py:37-83):
+        # exp(s − β_head) · γ_head⁻¹ with a CONSTANT per-head denominator —
+        # no row-sum fold and no Goldschmidt inverse (γ⁻¹ rides the causal
+        # mask for free), saving ~inv_iters+2 multiplicative levels.
+        assert ap.consmax_beta is not None and ap.consmax_gamma is not None, \
+            "softmax='consmax' needs trained consmax_beta/gamma " \
+            "(nn.calibrate.train_consmax)"
+        for lo, hi in bounds:
+            bneg, cg = ap.consmax_arrays(sh, lo, hi)
+            sc = B.add_plain(scores_chunk(lo, hi), bneg)
+            e = B.mul_plain(K.exp(B, sc, r=ap.exp_r), cg)
+            exps.append(e)
     else:
         for lo, hi in bounds:
             _, _, causal, _ = ap.chunk_arrays(lo, hi)
@@ -362,16 +405,18 @@ def attention(B, xs, sh: GPT2Shapes, ap: AttnPlans, softmax: str = "smax",
             part = B.reduce_sum_batch(e, 0)
             denom = part if denom is None else B.add(denom, part)
 
-    inv = K.goldschmidt_inverse(
-        B, B.add_const(B.mul_const(denom, 0.0), ap.inv_prescale),
-        B.mul_const(denom, ap.inv_prescale), ap.inv_iters)
+    inv = None
+    if denom is not None:
+        inv = K.goldschmidt_inverse(
+            B, B.add_const(B.mul_const(denom, 0.0), ap.inv_prescale),
+            B.mul_const(denom, ap.inv_prescale), ap.inv_iters)
 
     # S·V: out = Σ_Δ (e_Δ ⊙ inv) ⊙ rot(V, Δ·st), reduced over the Δ axis.
     vpos, vneg = _row_shift_stacks(B, v, sh)
     out = None
     for (lo, hi), e in zip(bounds, exps):
         vd = _gather_deltas(B, ap, sh, vpos, vneg, n, lo, hi)
-        w_ = B.mul(e, inv)
+        w_ = e if inv is None else B.mul(e, inv)
         part = B.reduce_sum_batch(B.mul(w_, vd), 0)
         out = part if out is None else B.add(out, part)
 

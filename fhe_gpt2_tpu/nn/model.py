@@ -57,7 +57,9 @@ def build_gpt2_plans(sh: L.GPT2Shapes, weights: dict, n_layers: int,
         bo = _get(weights, p + "attn.c_proj.bias")
         ap = L.build_attn_plans(sh, wq, bq, wk, bk, wv, bv, wo, bo, giant)
         for k, v in (attn_overrides or {}).items():
-            setattr(ap, k, v)
+            # A list value is per-layer (e.g. trained per-layer/per-head
+            # ConsMax β/γ from calibrate.train_consmax).
+            setattr(ap, k, v[i] if isinstance(v, list) else v)
         init1, init2 = (newton_inits[i] if newton_inits else
                         (1e4 * d * d, 1e4 * d * d))
         ln1 = L.build_ln_plans(
