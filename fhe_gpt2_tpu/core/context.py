@@ -265,6 +265,15 @@ class CkksContext:
                 )
         return self._drop_last[level]
 
+    def fused_ks_tables(self, level: int):
+        """Constants for the fused decompose+NTT+MAC key-switch kernel
+        (core/tks.py); cached per level."""
+        key = ("fks", level)
+        if key not in self._mod_down:
+            from . import tks
+            self._mod_down[key] = tks.make_fused_ks_tables(self, level)
+        return self._mod_down[key]
+
     def rescale_pair_tables(self, level: int) -> rns.ModDownTables:
         """One-shot composite rescale tables: divide by the trailing
         rescale_limbs primes in a single fast base conversion (same

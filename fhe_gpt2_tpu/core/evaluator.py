@@ -199,6 +199,21 @@ def _ks_mac_core(tpoly, kdata, kt):
     return mod_sum(prod, kt.q, kt.ratio1, axis=-3)
 
 
+def _fused_ks_mode(kt):
+    """None (split decompose/MAC path), "tpu", or "interpret": the fused
+    Pallas key-switch kernel (core/tks.py). Opt-in via FHE_FUSED_KS=1 until
+    TPU-profiled; follows the NTT dispatch rules otherwise (uint32 + four-
+    step tables present)."""
+    import os
+    if kt.fs is None or os.environ.get("FHE_FUSED_KS", "0") == "0":
+        return None
+    if jax.default_backend() == "tpu":
+        return "tpu"
+    if os.environ.get("FHE_PALLAS_INTERPRET") == "1":
+        return "interpret"
+    return None
+
+
 class Evaluator:
     """Stateless op library bound to a context (and optionally keys)."""
 
@@ -410,8 +425,15 @@ class Evaluator:
         ctx = self.ctx
         l = level
         kt, bcts, own, D = self._ks_structs(l)
-        tpoly = _decompose_core(c, kt, ctx.tables(l), bcts, own)
-        acc = _ks_mac_core(tpoly, self._slice_key(ksk, l, D), kt)
+        mode = _fused_ks_mode(kt)
+        if mode:
+            from . import tks
+            acc = tks.fused_switch_key(
+                c, self._slice_key(ksk, l, D), ctx.tables(l), kt,
+                ctx.fused_ks_tables(l), interpret=mode == "interpret")
+        else:
+            tpoly = _decompose_core(c, kt, ctx.tables(l), bcts, own)
+            acc = _ks_mac_core(tpoly, self._slice_key(ksk, l, D), kt)
         return self._mod_down_special(acc, l)
 
     def apply_galois(self, a: Ciphertext, galois_elt: int) -> Ciphertext:
