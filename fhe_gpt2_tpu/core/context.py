@@ -265,6 +265,20 @@ class CkksContext:
                 )
         return self._drop_last[level]
 
+    def fused_md_tables(self, level: int, pair: bool = False):
+        """Constants for the fused mod-down kernel (core/tks.py): divide by
+        the special primes (pair=False) or by the trailing rescale pair
+        (pair=True, composite rescale)."""
+        key = ("fmd", level, pair)
+        if key not in self._mod_down:
+            from . import tks
+            mdt = (self.rescale_pair_tables(level) if pair
+                   else self.mod_down_onestep_tables(level))
+            out_l = level - self.rescale_limbs if pair else level
+            self._mod_down[key] = tks.make_fused_md_tables(
+                mdt, self.tables(out_l))
+        return self._mod_down[key]
+
     def fused_ks_tables(self, level: int):
         """Constants for the fused decompose+NTT+MAC key-switch kernel
         (core/tks.py); cached per level."""

@@ -369,9 +369,17 @@ class Evaluator:
             # One-shot drop of the trailing pair (HPS fast base conversion,
             # same core as the key-switch mod-down): g limb iNTTs + one NTT
             # instead of g sequential exact drops.
-            data = _mod_down_core(
-                a.data, ctx.tables(tuple(range(l - g, l))),
-                ctx.tables(l - g), ctx.rescale_pair_tables(l))
+            mode = _fused_ks_mode(ctx.tables(l - g))
+            if mode:
+                from . import tks
+                data = tks.fused_mod_down(
+                    a.data, ctx.tables(tuple(range(l - g, l))),
+                    ctx.tables(l - g), ctx.fused_md_tables(l, pair=True),
+                    interpret=mode == "interpret")
+            else:
+                data = _mod_down_core(
+                    a.data, ctx.tables(tuple(range(l - g, l))),
+                    ctx.tables(l - g), ctx.rescale_pair_tables(l))
         return Ciphertext(data, a.scale / float(
             np.prod([ctx.moduli[i] for i in range(l - g, l)])))
 
@@ -409,6 +417,12 @@ class Evaluator:
         Bit-identical to the exact per-prime drop when k_sp == 1."""
         ctx = self.ctx
         sp_idx = tuple(ctx.L + i for i in range(ctx.k_sp))
+        mode = _fused_ks_mode(ctx.tables(level))
+        if mode:
+            from . import tks
+            return tks.fused_mod_down(
+                x, ctx.tables(sp_idx), ctx.tables(level),
+                ctx.fused_md_tables(level), interpret=mode == "interpret")
         return _mod_down_core(x, ctx.tables(sp_idx), ctx.tables(level),
                               ctx.mod_down_onestep_tables(level))
 

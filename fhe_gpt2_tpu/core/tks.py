@@ -34,7 +34,7 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from .modmath import add_mod, mul_mod, mul_mod_shoup, shoup
+from .modmath import add_mod, mul_mod, mul_mod_shoup, sub_mod
 from .tntt import C_LANES, _row_ntt_fwd, _col_dft_fwd
 
 _TK_LEAVES = ("q3", "r0_3", "r1_3", "own", "pw", "gather", "inv_punc",
@@ -99,6 +99,160 @@ def make_fused_ks_tables(ctx, level: int) -> FusedKsTables:
             gather=jnp.asarray(gather.ravel()),
             inv_punc=jnp.asarray(ipunc), inv_punc_shoup=jnp.asarray(ipunc_sh),
             src_q=jnp.asarray(srcq), D=D, A=A)
+
+
+_MD_LEAVES = ("q3", "r0_3", "r1_3", "punc", "pinvf", "pmodq", "halfq",
+              "invp", "invps", "half_p", "inv_punc", "inv_punc_shoup",
+              "src_q")
+
+
+@dataclass(frozen=True)
+class FusedMdTables:
+    """Constants for the fused mod-down / composite-rescale kernel: divide
+    NTT-form x[..., l+k, N] by P = prod of the k trailing primes."""
+
+    q3: jnp.ndarray          # [l,1,1] dst moduli (SMEM)
+    r0_3: jnp.ndarray
+    r1_3: jnp.ndarray
+    punc: jnp.ndarray        # [k,l]   (P/p_i) mod q_j (SMEM)
+    pinvf: jnp.ndarray       # [k,1,1] float32 1/p_i (SMEM)
+    pmodq: jnp.ndarray       # [l,1,1] P mod q_j (SMEM)
+    halfq: jnp.ndarray       # [l,1,1] (P>>1) mod q_j (SMEM)
+    invp: jnp.ndarray        # [l,1,1] P^{-1} mod q_j (SMEM)
+    invps: jnp.ndarray       # [l,1,1] shoup
+    half_p: jnp.ndarray      # [k,1] (P>>1) mod p_i  (XLA preproc)
+    inv_punc: jnp.ndarray    # [k,1]  [(P/p_i)^{-1}]_{p_i} (XLA preproc)
+    inv_punc_shoup: jnp.ndarray
+    src_q: jnp.ndarray       # [k,1]
+
+
+jax.tree_util.register_pytree_node(
+    FusedMdTables,
+    lambda t: (tuple(getattr(t, f) for f in _MD_LEAVES), None),
+    lambda _, ch: FusedMdTables(**dict(zip(_MD_LEAVES, ch))),
+)
+
+
+def make_fused_md_tables(mdt, kt) -> FusedMdTables:
+    """From rns.ModDownTables (mdt) + the destination NttTables (kt, sliced
+    to the l output limbs)."""
+    l = np.asarray(mdt.inv_p).shape[0]
+    k = np.asarray(mdt.half_p).shape[0]
+
+    def col3(v):
+        return jnp.asarray(np.asarray(v).reshape(-1, 1, 1))
+
+    with jax.ensure_compile_time_eval():
+        return FusedMdTables(
+            q3=col3(kt.q), r0_3=col3(kt.ratio0), r1_3=col3(kt.ratio1),
+            punc=jnp.asarray(np.asarray(mdt.bct.punc_mod_dst)),   # [k, l]
+            pinvf=jnp.asarray(
+                np.asarray(mdt.p_invf).reshape(-1, 1, 1)),
+            pmodq=col3(mdt.p_mod_q), halfq=col3(mdt.half_q),
+            invp=col3(mdt.inv_p), invps=col3(mdt.inv_p_shoup),
+            half_p=mdt.half_p, inv_punc=mdt.bct.inv_punc,
+            inv_punc_shoup=mdt.bct.inv_punc_shoup, src_q=mdt.bct.src_q)
+
+
+def _md_kernel(q_ref, r0_ref, r1_ref, punc_ref, pinvf_ref, pmodq_ref,
+               halfq_ref, invp_ref, invps_ref, x_ref, v_ref,
+               rtw_ref, rtws_ref, T_ref, Ts_ref, ctw_ref, ctws_ref,
+               out_ref):
+    j = pl.program_id(1)
+    q = q_ref[j, 0, 0]
+    r0 = r0_ref[j, 0, 0]
+    r1 = r1_ref[j, 0, 0]
+    k = v_ref.shape[1]
+    acc = None
+    f = None
+    for i in range(k):                      # static unroll over drop limbs
+        vi = v_ref[0, i]                    # [R, C]
+        t = mul_mod(vi, punc_ref[i, j], q, r0, r1)
+        acc = t if acc is None else add_mod(acc, t, q)
+        fi = vi.astype(jnp.float32) * pinvf_ref[i, 0, 0]
+        f = fi if f is None else f + fi
+    # HPS overflow unit (rns.mod_down_convert semantics incl. the clamp).
+    u = jnp.clip(jnp.floor(f), 0.0, float(k - 1)).astype(acc.dtype)
+    img = sub_mod(acc, mul_mod(u, pmodq_ref[j, 0, 0], q, r0, r1), q)
+    img = sub_mod(img, halfq_ref[j, 0, 0], q)
+    R = img.shape[0]
+    logR = R.bit_length() - 1
+    logC = C_LANES.bit_length() - 1
+    y = _row_ntt_fwd(img, rtw_ref[0].reshape(logR, R, 1),
+                     rtws_ref[0].reshape(logR, R, 1), q)
+    y = mul_mod_shoup(y, T_ref[0], Ts_ref[0], q)
+    z = _col_dft_fwd(y.T, ctw_ref[0].reshape(logC, C_LANES, 1),
+                     ctws_ref[0].reshape(logC, C_LANES, 1), q)
+    diff = sub_mod(x_ref[0, 0], z.T, q)
+    out_ref[0, 0] = mul_mod_shoup(diff, invp_ref[j, 0, 0],
+                                  invps_ref[j, 0, 0], q)
+
+
+def fused_mod_down(x: jnp.ndarray, t_sp, t_q, ft: FusedMdTables,
+                   interpret: bool = False) -> jnp.ndarray:
+    """Fused one-shot divide-and-round of NTT-form x[..., l+k, N] by
+    P = prod of the k trailing primes: iNTT of the k drop limbs (its own
+    fused kernel), then ONE kernel doing base-convert + overflow correction
+    + forward NTT + subtract + ·P⁻¹ per output limb. Bit-exact
+    `_mod_down_core` (core/evaluator.py)."""
+    from . import ntt as nttmod
+    *lead, lk, n = x.shape
+    k = ft.half_p.shape[0]
+    l = lk - k
+    R = n // C_LANES
+    M = 1
+    for dim in lead:
+        M *= dim
+    fs = t_q.fs
+    a = nttmod._intt(x[..., l:, :], t_sp)
+    v = mul_mod_shoup(add_mod(a, ft.half_p, ft.src_q),
+                      ft.inv_punc, ft.inv_punc_shoup, ft.src_q)
+    vr = v.reshape(M, k, R, C_LANES)
+    xr = x[..., :l, :].reshape(M, l, R, C_LANES)
+    nr = fs.rtw.shape[1]
+    nc = fs.ctw.shape[1]
+    smem = pltpu.SMEM
+    vmem = pltpu.VMEM
+    z = lambda v_: v_ * 0
+
+    def whole(shape, space=smem):
+        return pl.BlockSpec(shape, lambda m, j: (z(j),) * len(shape),
+                            memory_space=space)
+
+    specs = [
+        whole(ft.q3.shape), whole(ft.q3.shape), whole(ft.q3.shape),
+        whole(ft.punc.shape), whole(ft.pinvf.shape), whole(ft.pmodq.shape),
+        whole(ft.halfq.shape), whole(ft.invp.shape), whole(ft.invps.shape),
+        pl.BlockSpec((1, 1, R, C_LANES), lambda m, j: (m, j, z(j), z(j)),
+                     memory_space=vmem),
+        pl.BlockSpec((1, k, R, C_LANES), lambda m, j: (m, z(j), z(j), z(j)),
+                     memory_space=vmem),
+        pl.BlockSpec((1, nr, 1), lambda m, j: (j, z(j), z(j)),
+                     memory_space=vmem),
+        pl.BlockSpec((1, nr, 1), lambda m, j: (j, z(j), z(j)),
+                     memory_space=vmem),
+        pl.BlockSpec((1, R, C_LANES), lambda m, j: (j, z(j), z(j)),
+                     memory_space=vmem),
+        pl.BlockSpec((1, R, C_LANES), lambda m, j: (j, z(j), z(j)),
+                     memory_space=vmem),
+        pl.BlockSpec((1, nc, 1), lambda m, j: (j, z(j), z(j)),
+                     memory_space=vmem),
+        pl.BlockSpec((1, nc, 1), lambda m, j: (j, z(j), z(j)),
+                     memory_space=vmem),
+    ]
+    out = pl.pallas_call(
+        _md_kernel,
+        grid=(M, l),
+        in_specs=specs,
+        out_specs=pl.BlockSpec((1, 1, R, C_LANES),
+                               lambda m, j: (m, j, z(j), z(j)),
+                               memory_space=vmem),
+        out_shape=jax.ShapeDtypeStruct((M, l, R, C_LANES), x.dtype),
+        interpret=interpret,
+    )(ft.q3, ft.r0_3, ft.r1_3, ft.punc, ft.pinvf, ft.pmodq, ft.halfq,
+      ft.invp, ft.invps, xr, vr,
+      fs.rtw, fs.rtws, fs.T, fs.Ts, fs.ctw, fs.ctws)
+    return out.reshape(*lead, l, n)
 
 
 def _ks_kernel(q_ref, r0_ref, r1_ref, own_ref, pw_ref,

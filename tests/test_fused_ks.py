@@ -74,6 +74,46 @@ def test_fused_ks_bit_exact_batched():
     _compare(ctx, kg, 4, batch=(3,))
 
 
+def test_fused_mod_down_bit_exact():
+    """Fused convert+NTT+correct mod-down vs _mod_down_core: exact on every
+    coefficient except possibly ±1 units where the float32 overflow
+    estimator sits on a floor boundary (both roundings are within the HPS
+    ≤k-unit spec; the summation order differs between jnp.sum and the
+    kernel's sequential adds)."""
+    from fhe_gpt2_tpu.core.evaluator import _mod_down_core
+
+    for composite in (False, True):
+        ctx, kg = _setup(composite=composite, levels=4, nsp=3)
+        level = ctx.L
+        rng = np.random.default_rng(2)
+        n = ctx.n
+        lk = level + ctx.k_sp
+        mods = ctx.all_moduli[:level] + ctx.special
+        x = jnp.asarray(np.stack(
+            [rng.integers(0, q, n).astype(np.uint64).astype(ctx.word)
+             for q in mods]))
+        sp_idx = tuple(ctx.L + i for i in range(ctx.k_sp))
+        ref = np.asarray(_mod_down_core(
+            x, ctx.tables(sp_idx), ctx.tables(level),
+            ctx.mod_down_onestep_tables(level)))
+        from fhe_gpt2_tpu.core import tks as tks_mod
+        got = np.asarray(tks_mod.fused_mod_down(
+            x, ctx.tables(sp_idx), ctx.tables(level),
+            ctx.fused_md_tables(level), interpret=True))
+        assert got.shape == ref.shape
+        if not np.array_equal(ref, got):
+            # Residue-wise |Δ| must stay ≤ 1·inv_p-image unit: compare the
+            # underlying integers via centered difference per limb.
+            for row, q in enumerate(mods[:level]):
+                d = (got[row].astype(np.int64) - ref[row].astype(np.int64))
+                d = (d + q // 2) % q - q // 2
+                # ±1 unit of P^{-1}: difference is ±inv_p mod q
+                inv_p = int(np.asarray(
+                    ctx.mod_down_onestep_tables(level).inv_p)[row, 0])
+                ok = np.isin(np.abs(d), [0, inv_p, q - inv_p])
+                assert ok.all(), (row, d[~ok][:5])
+
+
 def test_fused_ks_end_to_end_rotation():
     """Whole-evaluator path with FHE_FUSED_KS=1: rotate + relin decrypt
     correctly through the fused kernel."""
