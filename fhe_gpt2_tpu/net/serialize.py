@@ -144,7 +144,9 @@ def dump_params(p: CkksParams) -> bytes:
     return _pack({"kind": "params", "n": p.n, "moduli": list(p.moduli),
                   "special": list(p.special), "scale": p.scale,
                   "hamming_weight": p.hamming_weight,
-                  "sparse_slots": p.sparse_slots}, b"")
+                  "sparse_slots": p.sparse_slots,
+                  "rescale_limbs": p.rescale_limbs,
+                  "base_limbs": p.base_limbs}, b"")
 
 
 def load_params(blob: bytes) -> CkksParams:
@@ -153,4 +155,6 @@ def load_params(blob: bytes) -> CkksParams:
     return CkksParams(n=h["n"], moduli=tuple(h["moduli"]),
                       special=tuple(h["special"]), scale=h["scale"],
                       hamming_weight=h["hamming_weight"],
-                      sparse_slots=h["sparse_slots"])
+                      sparse_slots=h["sparse_slots"],
+                      rescale_limbs=h.get("rescale_limbs", 1),
+                      base_limbs=h.get("base_limbs", 1))
