@@ -70,6 +70,88 @@ def test_limb_sharded_keyswitch_matches_single_device(setup):
     assert np.array_equal(np.asarray(got), want), "SPMD result differs"
 
 
+def test_sharded_conv_layer_bitwise(setup):
+    """An encrypted conv2d LT (the CNN hot layer) over a 4-image ct batch
+    under a (data=4 × limb=2) mesh must be bitwise identical to the
+    single-device run — the TPU counterpart of the reference's 50-thread
+    OMP image loop (infer_seal.cpp:404) with the conv inside it."""
+    from fhe_gpt2_tpu.cnn.conv import PlanarLayout, conv2d_spec, fold_bn
+    from fhe_gpt2_tpu.nn.backend import CkksBackend, RecordingBackend
+
+    ctx, ev, dec, ct, zs = setup
+    rng = np.random.default_rng(11)
+    lay_in = PlanarLayout(3, 8, 8, ctx.params.slots)
+    lay_out = PlanarLayout(4, 8, 8, ctx.params.slots)
+    w = rng.standard_normal((4, 3, 3, 3)) * 0.2
+    plan = conv2d_spec(w, lay_in, lay_out, 1, name="meshconv").bsgs_plan()
+    from fhe_gpt2_tpu.nn.linear import apply_lt
+
+    rec = RecordingBackend(ctx.params.slots)
+    apply_lt(rec, plan, [np.zeros(ctx.params.slots)])
+    kg2 = KeyGenerator(ctx, seed=7)
+    ev.galois_keys = kg2.galois_keys(steps=sorted(set(rec.key_steps())
+                                                  | {1, 3}), conjugate=True)
+    B = CkksBackend(ctx=ctx, ev=ev, dec=dec, default_level=LEVELS)
+
+    def conv_step(data):
+        [y] = apply_lt(B, plan, [Ciphertext(data, ct.scale)])
+        return y.data
+
+    want = np.asarray(jax.jit(conv_step)(ct.data))
+    mesh = make_mesh(n_data=4, n_limb=2)
+    sct = shard_ciphertext(ct, mesh)
+    with mesh:
+        got = jax.jit(conv_step)(sct.data)
+        jax.block_until_ready(got)
+    assert np.array_equal(np.asarray(got), want), "sharded conv differs"
+
+
+@pytest.mark.slow
+def test_sharded_bootstrap_bitwise():
+    """A FULL bootstrap of a 2-image ct batch under a (data=2 × limb=2)
+    mesh, bitwise equal to the single-device pipeline (every stage — LTs,
+    EvalMod, mod-raise — runs under SPMD with XLA-inserted collectives)."""
+    from fhe_gpt2_tpu.boot.bootstrap import Bootstrapper, make_evalmod
+    from fhe_gpt2_tpu.nn.backend import CkksBackend
+
+    NS = 64
+    params = CkksParams.create(
+        logn=10, log_q0=45, log_scale=40, num_levels=22,
+        log_special=51, hamming_weight=16, sparse_slots=NS)
+    ctx = CkksContext(params)
+    kg = KeyGenerator(ctx, seed=3)
+    enc = Encryptor(ctx, secret=kg.secret, seed=4)
+    dec = Decryptor(ctx, kg.secret)
+    ev = Evaluator(ctx, relin_key=kg.relin_key())
+    B = CkksBackend(ctx=ctx, ev=ev, enc=enc, dec=None, default_level=22)
+    em = make_evalmod(K=12, eps=2 ** -5, degree=45, arcsin_degree=3,
+                      prec_dps=60)
+    boot = Bootstrapper(B, num_slots=NS, evalmod=em)
+    ev.galois_keys = kg.galois_keys(steps=boot.required_steps(),
+                                    conjugate=True)
+    rng = np.random.default_rng(5)
+    zs = rng.uniform(-1, 1, (2, NS))
+    ct = stack_cts([enc.encrypt(ev.make_plain(z, params.scale, 1))
+                    for z in zs])
+    want = np.asarray(boot.bootstrap(ct).data)
+
+    # Entry is level 1 (a single limb) — shard the data axis only; inside
+    # the pipeline ModRaise re-expands to the full chain and XLA lays out
+    # the intermediates under SPMD.
+    mesh = make_mesh(n_data=2, n_limb=2)
+    from jax.sharding import NamedSharding, PartitionSpec as P
+    sct = Ciphertext(jax.device_put(
+        ct.data, NamedSharding(mesh, P(None, "data", None, None))), ct.scale)
+    with mesh:
+        out = boot.bootstrap(sct)
+        jax.block_until_ready(out.data)
+    got = np.asarray(out.data)
+    assert np.array_equal(got, want), "sharded bootstrap differs"
+    back = np.real(dec.decrypt(
+        Ciphertext(got[:, 0], out.scale), num_slots=NS))
+    assert np.abs(back - zs[0]).mean() < 1e-2
+
+
 def test_data_sharded_batch_forward_decrypts_correctly(setup):
     """The data axis is pure DP: every batch element's decrypt must match
     the plaintext oracle after a sharded evaluate."""
