@@ -68,3 +68,23 @@ def test_limb_slice(tables):
     ref = np.asarray(nttmod._ntt_stages(xs, sub))
     got = np.asarray(tntt.fourstep_ntt(xs, sub.fs, interpret=True))
     assert np.array_equal(ref, got)
+
+
+@pytest.mark.slow
+def test_r512_logn16_bit_exact():
+    """The logN=16 configuration (R=512 rows — the reference's production
+    ring, infer_seal.cpp:287) was previously untested: pin forward
+    bit-exactness + inverse roundtrip at N=2^16."""
+    n = 1 << 16
+    mods = primes.gen_primes_balanced(25, 2, 2 * n)
+    t = nttmod.make_ntt_tables(mods, n, fourstep=True)
+    rng = np.random.default_rng(7)
+    x = jnp.asarray(np.stack(
+        [rng.integers(0, q, n, dtype=np.uint64).astype(np.uint32)
+         for q in mods]))
+    ref = np.asarray(nttmod._ntt_stages(x, t))
+    got = np.asarray(tntt.fourstep_ntt(x, t.fs, interpret=True))
+    assert np.array_equal(ref, got)
+    back = np.asarray(tntt.fourstep_intt(jnp.asarray(ref), t.fs,
+                                         interpret=True))
+    assert np.array_equal(back, np.asarray(x))
