@@ -106,6 +106,37 @@ def test_sharded_conv_layer_bitwise(setup):
     assert np.array_equal(np.asarray(got), want), "sharded conv differs"
 
 
+def test_limb_sharded_composite_engine_bitwise():
+    """The composite-scaling chain (pair rescale, u32 words) under a
+    (data × limb) mesh: mult+relin+pair-rescale+rotate bitwise equal to the
+    single-device run."""
+    params = CkksParams.create_composite(
+        logn=9, num_levels=4, log_special=31, num_special=2,
+        hamming_weight=16)
+    ctx = CkksContext(params)
+    kg = KeyGenerator(ctx, seed=7)
+    ev = Evaluator(ctx, relin_key=kg.relin_key(),
+                   galois_keys=kg.galois_keys(steps=[1]))
+    enc = Encryptor(ctx, secret=kg.secret, seed=8)
+    rng = np.random.default_rng(9)
+    zs = rng.uniform(-1, 1, (4, ctx.params.slots))
+    ct = stack_cts([enc.encrypt(ev.make_plain(z, params.scale, ctx.L))
+                    for z in zs])
+
+    def step(data):
+        c = Ciphertext(data, ct.scale)
+        m = ev.rescale(ev.multiply(c, c))
+        return ev.rotate(m, 1).data
+
+    want = np.asarray(jax.jit(step)(ct.data))
+    mesh = make_mesh(n_data=4, n_limb=2)
+    sct = shard_ciphertext(ct, mesh)
+    with mesh:
+        got = jax.jit(step)(sct.data)
+        jax.block_until_ready(got)
+    assert np.array_equal(np.asarray(got), want)
+
+
 @pytest.mark.slow
 def test_sharded_bootstrap_bitwise():
     """A FULL bootstrap of a 2-image ct batch under a (data=2 × limb=2)
