@@ -220,7 +220,14 @@ def main():
                          "arithmetic; --levels counts pairs")
     ap.add_argument("--metric", default="ct_mult_relin",
                     choices=["ct_mult_relin", "bootstrap"])
+    ap.add_argument("--cpu-fallback", action="store_true",
+                    help=argparse.SUPPRESS)   # set by the retry path only
     args = ap.parse_args()
+    if args.cpu_fallback:
+        # TPU unreachable: measure a reduced ring on CPU, label honestly.
+        import jax
+        jax.config.update("jax_platforms", "cpu")
+        args.logn, args.levels, args.iters = 12, 8, 3
     try:
         if args.metric == "bootstrap":
             if args.levels < 20:
@@ -237,12 +244,22 @@ def main():
             raise
         tries = int(os.environ.get("BENCH_BACKEND_RETRIES", "0"))
         if tries >= 3:
-            raise
+            # TPU unreachable after retries (the axon tunnel can wedge for
+            # hours — it killed the round-4 driver bench). Emit an honest,
+            # clearly-labeled CPU-fallback line rather than a crash: the
+            # metric name carries the caveat; vs_baseline is omitted.
+            print(f"# backend unavailable after {tries} retries; "
+                  "CPU fallback at reduced ring", file=sys.stderr)
+            os.execv(sys.executable,
+                     [sys.executable] + sys.argv + ["--cpu-fallback"])
         print(f"# backend init failed ({e}); retry {tries + 1}/3 in 120s",
               file=sys.stderr)
         time.sleep(120)
         os.environ["BENCH_BACKEND_RETRIES"] = str(tries + 1)
         os.execv(sys.executable, [sys.executable] + sys.argv)
+    if args.cpu_fallback:
+        res["metric"] += "_CPU_FALLBACK_TPU_UNAVAILABLE"
+        res["vs_baseline"] = 0.0
     print(json.dumps(res))
 
 
