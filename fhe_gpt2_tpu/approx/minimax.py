@@ -183,6 +183,12 @@ class _CostBackend:
         return a + 1
 
     def mul_const(self, a, c, out_scale=None):
+        # Integer constants are exact multiplies on the real engine (no
+        # rescale, no level — CkksBackend.mul_const → mul_const_int); cost
+        # them the same way or every ×2 in the Chebyshev ladders charges a
+        # phantom level and the DP overestimates stage depth ~2×.
+        if out_scale is None and float(c) == int(c) and abs(c) < 2 ** 40:
+            return a
         return a + 1
 
     def mul_plain(self, a, v, out_scale=None):

@@ -169,10 +169,14 @@ def _md_kernel(q_ref, r0_ref, r1_ref, punc_ref, pinvf_ref, pmodq_ref,
         vi = v_ref[0, i]                    # [R, C]
         t = mul_mod(vi, punc_ref[i, j], q, r0, r1)
         acc = t if acc is None else add_mod(acc, t, q)
-        fi = vi.astype(jnp.float32) * pinvf_ref[i, 0, 0]
+        # Mosaic has no uint32→float32 cast; go via int32 (values < 2^31,
+        # so the reinterpret is value-preserving on the u32 engine).
+        fi = vi.astype(jnp.int32).astype(jnp.float32) * pinvf_ref[i, 0, 0]
         f = fi if f is None else f + fi
     # HPS overflow unit (rns.mod_down_convert semantics incl. the clamp).
-    u = jnp.clip(jnp.floor(f), 0.0, float(k - 1)).astype(acc.dtype)
+    # float32→uint32 is likewise unsupported; clamp keeps u in int32 range.
+    u = jnp.clip(jnp.floor(f), 0.0, float(k - 1)).astype(
+        jnp.int32).astype(acc.dtype)
     img = sub_mod(acc, mul_mod(u, pmodq_ref[j, 0, 0], q, r0, r1), q)
     img = sub_mod(img, halfq_ref[j, 0, 0], q)
     R = img.shape[0]

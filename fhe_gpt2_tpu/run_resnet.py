@@ -96,6 +96,19 @@ def main():
     ap.add_argument("--boot-factors", type=int, default=2,
                     help="CtS/StC factorization depth (3 = fewer masks, "
                          "2 more levels consumed)")
+    ap.add_argument("--start-level", type=int, default=0,
+                    help="encrypt inputs at this LOGICAL level instead of "
+                         "the chain top. Set to (levels - bootstrap depth) "
+                         "so the stem ReLU runs at the same level as every "
+                         "post-bootstrap ReLU: one compiled ReLU program "
+                         "for the whole net, and convs run near the chain "
+                         "bottom where masks are limbs-cheap.")
+    ap.add_argument("--headroom", type=int, default=None,
+                    help="auto-bootstrap level floor in logical levels "
+                         "(backend min_level_headroom; default 3). The "
+                         "level-exact schedule (--start-level) runs convs "
+                         "1-2 levels above base, which needs headroom<=2 "
+                         "to not trigger traced mid-segment bootstraps.")
     ap.add_argument("--batch-images", action="store_true",
                     help="stack all --images on the ciphertext batch axis "
                          "and run ONE batched forward (amortized per-image "
@@ -217,11 +230,15 @@ def _run_encrypted(a, rp, imgs):
             sparse_slots=ss)
     ctx = CkksContext(params)
     lvl = len(params.moduli) if a.composite else a.levels
+    if a.start_level:
+        lvl = ctx.base_limbs + a.start_level * ctx.rescale_limbs
     kg = KeyGenerator(ctx, seed=1)
     ev = Evaluator(ctx, relin_key=kg.relin_key())
     enc = Encryptor(ctx, secret=kg.secret, seed=2)
     dec = Decryptor(ctx, kg.secret)
     B = CkksBackend(ctx=ctx, ev=ev, enc=enc, dec=dec, default_level=lvl)
+    if a.headroom is not None:
+        B.min_level_headroom = a.headroom
     steps = set(rec.key_steps())
     if a.real_boot:
         from .boot.bootstrap import Bootstrapper, make_evalmod
