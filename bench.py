@@ -88,6 +88,13 @@ def bench_mult_relin(args):
     def step(data):
         c = Ciphertext(data, params.scale)
         out = ev.multiply(c, c)          # mult + relinearize
+        if args.composite:
+            # Composite chains must rescale (drop the pair) each step —
+            # scale-relabeled rescale-free chaining lets XLA collapse the
+            # dependent chain on this path and reports a fantasy number
+            # (observed 58k ops/s vs 23.6 real). The metric is then
+            # mult+relin+rescale, the engine's actual unit op.
+            out = ev.rescale(out)
         return out.data
 
     # Chain the iterations inside one jitted program: the multiply keeps
