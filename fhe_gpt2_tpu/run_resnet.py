@@ -185,6 +185,15 @@ def main():
                    oracle_agreement=n_ok / len(results),
                    seconds_per_image=round(
                        sum(r["seconds"] for r in results) / len(results), 2))
+    bt = getattr(a, "_boot_times", None)
+    if bt:
+        summary.update(
+            n_bootstraps=len(bt),
+            boot_seconds_first=round(bt[0], 2),          # includes compile
+            boot_seconds_min=round(min(bt), 3),
+            boot_seconds_mean_steady=round(
+                sum(bt[1:]) / (len(bt) - 1), 3)
+            if len(bt) > 1 else round(bt[0], 3))
     print(json.dumps(summary))
     if a.out:
         with open(a.out, "a") as f:
@@ -210,8 +219,12 @@ def _run_encrypted(a, rp, imgs):
     from .core.keys import KeyGenerator
     from .nn.backend import CkksBackend, RecordingBackend
 
+    def log(msg):
+        print(f"# [{time.strftime('%H:%M:%S')}] {msg}", flush=True)
+
     rec = RecordingBackend(rp.slots)
     R.forward(rec, R.pack_input(rp, imgs[0]), rp, boot_between=False)
+    log("rotation recording done")
     ss = a.data_slots if a.data_slots else 0
     if a.composite:
         params = CkksParams.create_composite(
@@ -229,6 +242,7 @@ def _run_encrypted(a, rp, imgs):
             log_special=51, num_special=a.nsp, hamming_weight=a.hamming,
             sparse_slots=ss)
     ctx = CkksContext(params)
+    log(f"context built: {ctx.L} limbs + {ctx.k_sp} special")
     lvl = len(params.moduli) if a.composite else a.levels
     if a.start_level:
         lvl = ctx.base_limbs + a.start_level * ctx.rescale_limbs
@@ -239,6 +253,7 @@ def _run_encrypted(a, rp, imgs):
     B = CkksBackend(ctx=ctx, ev=ev, enc=enc, dec=dec, default_level=lvl)
     if a.headroom is not None:
         B.min_level_headroom = a.headroom
+    log("relin key done")
     steps = set(rec.key_steps())
     if a.real_boot:
         from .boot.bootstrap import Bootstrapper, make_evalmod
@@ -257,7 +272,28 @@ def _run_encrypted(a, rp, imgs):
         # logN=16/u64 exceed HBM (389 steps x ~190 MB).
         from .core.keys import digit_steps
         steps = set(digit_steps(ctx.params.slots, base=16))
+    t0 = time.time()
     ev.galois_keys = kg.galois_keys(steps=sorted(steps), conjugate=True)
+    log(f"galois keygen done: {len(steps)} keys in {time.time()-t0:.0f}s")
+    # Per-bootstrap wall-clock telemetry: the recorded run IS the bootstrap
+    # benchmark (run_bootstrapping.cpp counterpart) — steady-state times
+    # land in the summary as boot_seconds_{first,min,mean}.
+    if B.boot is not None:
+        boot_times = []
+        inner = B.bootstrap
+
+        def timed_boot(v, **kw):
+            import jax
+            t0 = time.time()
+            out = inner(v, **kw)
+            jax.block_until_ready(out.data)
+            boot_times.append(time.time() - t0)
+            log(f"bootstrap #{len(boot_times)}: {boot_times[-1]:.2f}s "
+                f"(level {v.level} -> {out.level})")
+            return out
+
+        B.bootstrap = timed_boot
+        a._boot_times = boot_times
     packed = [R.pack_input(rp, img) for img in imgs]     # [n_img][n_cts]
     if len(imgs) == 1:
         xs = [B.from_slots(v) for v in packed[0]]
