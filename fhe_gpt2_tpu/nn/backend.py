@@ -226,11 +226,19 @@ class CkksBackend:
                 # Batched mask [batch..., slots]: encode each row, stack the
                 # NTT-form limbs into [batch..., l, N] — one Plaintext whose
                 # batch dims broadcast against a batched ciphertext.
+                import jax
                 import jax.numpy as jnp
                 rows = v.reshape(-1, self.slots)
                 pts = [self.ev.make_plain(r, scale, level) for r in rows]
-                data = jnp.stack([p.data for p in pts]).reshape(
-                    *v.shape[:-1], *pts[0].data.shape)
+                # The stack must be concrete even when this cache miss
+                # happens under a trace (jit_sealed's eval_shape warm pass):
+                # an unshielded jnp.stack of concrete rows inside a trace
+                # yields a tracer, which poisons the cache and leaks into
+                # the later real trace (UnexpectedTracerError in the
+                # Δ-batched attention path).
+                with jax.ensure_compile_time_eval():
+                    data = jnp.stack([p.data for p in pts]).reshape(
+                        *v.shape[:-1], *pts[0].data.shape)
                 out = Plaintext(data=data, scale=scale)
             else:
                 out = self.ev.make_plain(v.ravel(), scale, level)

@@ -37,7 +37,8 @@ def _get(weights, *names):
 
 def build_gpt2_plans(sh: L.GPT2Shapes, weights: dict, n_layers: int,
                      newton_inits=None, giant=None,
-                     attn_overrides: dict = None) -> GPT2ModelPlans:
+                     attn_overrides: dict = None,
+                     ln_iters: int = 12) -> GPT2ModelPlans:
     """Build all per-layer LT plans from a HF-style GPT-2 state dict.
 
     `newton_inits`: per-layer (ln1, ln2) Σz² magnitudes (host-calibrated on
@@ -64,10 +65,10 @@ def build_gpt2_plans(sh: L.GPT2Shapes, weights: dict, n_layers: int,
                         (1e4 * d * d, 1e4 * d * d))
         ln1 = L.build_ln_plans(
             sh, _get(weights, p + "ln_1.weight"), _get(weights, p + "ln_1.bias"),
-            newton_init=init1, iters=12)
+            newton_init=init1, iters=ln_iters)
         ln2 = L.build_ln_plans(
             sh, _get(weights, p + "ln_2.weight"), _get(weights, p + "ln_2.bias"),
-            newton_init=init2, iters=12)
+            newton_init=init2, iters=ln_iters)
         mp = L.build_mlp_plans(
             sh,
             _get(weights, p + "mlp.c_fc.weight"), _get(weights, p + "mlp.c_fc.bias"),
@@ -78,7 +79,7 @@ def build_gpt2_plans(sh: L.GPT2Shapes, weights: dict, n_layers: int,
     ln_f = L.build_ln_plans(
         sh, _get(weights, pf + "ln_f.weight"), _get(weights, pf + "ln_f.bias"),
         newton_init=(newton_inits[-1][0] if newton_inits else 1e4 * d * d),
-        iters=12)
+        iters=ln_iters)
     wte = wpe = None
     try:
         wte = _get(weights, pf + "wte.weight")
@@ -98,11 +99,81 @@ def embed(plans: GPT2ModelPlans, token_ids: np.ndarray) -> np.ndarray:
     return out
 
 
-def forward(B, xs, plans: GPT2ModelPlans):
-    """Run all blocks + final LN on backend values (act-layout ct list)."""
+def forward(B, xs, plans: GPT2ModelPlans, jit: bool = False,
+            boot_need: int = 0):
+    """Run all blocks + final LN on backend values (act-layout ct list).
+
+    jit=True (required on TPU): each block is four jitted segments
+    (LN1, attention+residual, LN2, MLP+residual) via jit_sealed, with
+    structurally identical layers SHARING compiled programs (rebind_sealed
+    repopulates mask caches host-side — the same driver architecture as
+    cnn/resnet._forward_jit). boot_need > 0 inserts
+    B.maybe_bootstrap(·, boot_need) before each segment, keeping bootstraps
+    OUTSIDE the traced segments (staged-jit pipeline), the counterpart of
+    the reference's bootstrap_full_real_3 placement between GPT-2 kernels
+    (run/infer_gpt2.cpp:122-181)."""
+    if jit:
+        return _forward_jit(B, xs, plans, boot_need)
     for bp in plans.blocks:
         xs = L.block(B, xs, plans.sh, bp)
     return L.layer_norm(B, xs, plans.sh, plans.ln_f)
+
+
+def _forward_jit(B, xs, plans: GPT2ModelPlans, boot_need: int = 0):
+    from .backend import jit_sealed, rebind_sealed
+
+    sh = plans.sh
+    jcache: dict = {}
+    struct_cache: dict = {}
+
+    def run(name, fn, vs, layer_id=None):
+        sig = (tuple(v.level for v in vs), tuple(v.scale for v in vs),
+               tuple(v.data.shape for v in vs))
+        key = (name, layer_id, sig)
+        jf = jcache.get(key)
+        if jf is None:
+            base = struct_cache.get((name, sig))
+            if base is None:
+                jf = jit_sealed(B, fn, vs, seq_keys=True)
+                struct_cache[(name, sig)] = jf
+            else:
+                jf = rebind_sealed(base, fn, vs)
+            jcache[key] = jf
+        return jf(vs)
+
+    def boot(vs):
+        if not boot_need:
+            return vs
+        return [B.maybe_bootstrap(v, boot_need) for v in vs]
+
+    for li, bp in enumerate(plans.blocks):
+        n = len(xs)
+
+        def ln1_fn(vs, bp=bp):
+            return L.layer_norm(B, vs, sh, bp.ln1)
+
+        def attn_fn(both, bp=bp, n=n):
+            h, res = both[:n], both[n:]
+            a = L.attention(B, h, sh, bp.attn)
+            return [B.add(x, y) for x, y in zip(res, a)]
+
+        def ln2_fn(vs, bp=bp):
+            return L.layer_norm(B, vs, sh, bp.ln2)
+
+        def mlp_fn(both, bp=bp, n=n):
+            h, res = both[:n], both[n:]
+            m = L.mlp(B, h, sh, bp.mlp)
+            return [B.add(x, y) for x, y in zip(res, m)]
+
+        h = run("ln1", ln1_fn, boot(xs), layer_id=li)
+        xs = run("attn", attn_fn, boot(h) + xs, layer_id=li)
+        h = run("ln2", ln2_fn, boot(xs), layer_id=li)
+        xs = run("mlp", mlp_fn, boot(h) + xs, layer_id=li)
+
+    def lnf_fn(vs):
+        return L.layer_norm(B, vs, sh, plans.ln_f)
+
+    return run("ln_f", lnf_fn, boot(xs))
 
 
 def logits(plans: GPT2ModelPlans, hidden: np.ndarray) -> np.ndarray:

@@ -45,6 +45,21 @@ def main():
                          "arithmetic cost; --levels counts pairs")
     ap.add_argument("--real-boot", action="store_true",
                     help="use the real CKKS bootstrap between blocks")
+    ap.add_argument("--jit", action="store_true",
+                    help="jitted segment driver (required on TPU): four "
+                         "programs per block shape (LN1/attn/LN2/MLP), "
+                         "same-shape layers share compiled programs")
+    ap.add_argument("--boot-need", type=int, default=0,
+                    help="logical levels of headroom demanded before each "
+                         "jitted segment (maybe_bootstrap); 0 = no "
+                         "between-segment refreshes")
+    ap.add_argument("--ln-iters", type=int, default=12,
+                    help="LayerNorm Newton rsqrt iterations (calibrated "
+                         "inits converge in ~4; 12 is the uncalibrated-"
+                         "safe default)")
+    ap.add_argument("--digit-keys", action="store_true",
+                    help="base-16 digit rotation key set instead of exact "
+                         "per-step keys (HBM control at large rings)")
     ap.add_argument("--decode", type=int, default=0, metavar="N",
                     help="after the forward, run N autoregressive KV-cache "
                          "decode steps (optimize.cpp augment_value path) and "
@@ -82,7 +97,7 @@ def main():
     print(f"# calibrated knobs: {knobs}")
     plans = M.build_gpt2_plans(
         sh, weights, a.layers, newton_inits=inits,
-        attn_overrides=knobs.as_overrides())
+        attn_overrides=knobs.as_overrides(), ln_iters=a.ln_iters)
 
     with torch.no_grad():
         want = net.transformer(
@@ -142,8 +157,14 @@ def _run_encrypted(a, sh, plans, emb):
     if a.real_boot:
         from .boot.bootstrap import Bootstrapper, make_evalmod
         eps = params.scale / ctx.q0_float
-        em = make_evalmod(K=12, eps=max(eps * 1.05, 2 ** -5), degree=45,
-                          arcsin_degree=3, prec_dps=60)
+        # Production window on the composite engine (K=25/deg59, the
+        # h=192 reference window); the small K=12/deg45 window otherwise.
+        if a.composite:
+            em = make_evalmod(K=25, eps=max(eps * 1.05, 2 ** -5), degree=59,
+                              arcsin_degree=3, prec_dps=80)
+        else:
+            em = make_evalmod(K=12, eps=max(eps * 1.05, 2 ** -5), degree=45,
+                              arcsin_degree=3, prec_dps=60)
         B.boot = Bootstrapper(B, evalmod=em)
         steps.update(B.boot.required_steps())
     if a.decode:
@@ -153,9 +174,12 @@ def _run_encrypted(a, sh, plans, emb):
         for t in range(min(a.decode, a.seq)):
             KV.decode_step(rec, plans, rc, emb[t], t)
         steps.update(rec.key_steps())
+    if a.digit_keys:
+        from .core.keys import digit_steps
+        steps = set(digit_steps(ctx.params.slots, base=16))
     ev.galois_keys = kg.galois_keys(steps=sorted(steps), conjugate=True)
     xs = [B.from_slots(v) for v in sh.act.pack(emb)]
-    out = M.forward(B, xs, plans)
+    out = M.forward(B, xs, plans, jit=a.jit, boot_need=a.boot_need)
     return B, sh.act.unpack(np.stack([B.to_slots(o) for o in out]))
 
 
