@@ -109,6 +109,11 @@ def main():
                          "level-exact schedule (--start-level) runs convs "
                          "1-2 levels above base, which needs headroom<=2 "
                          "to not trigger traced mid-segment bootstraps.")
+    ap.add_argument("--no-ext-hoist", action="store_true",
+                    help="single-hoisted LT path: smaller traced programs. "
+                         "REQUIRED at logN=15 composite rings — the "
+                         "double-hoisted CtS stage's HLO exceeds the axon "
+                         "remote-compile transport limit (HTTP 413).")
     ap.add_argument("--batch-images", action="store_true",
                     help="stack all --images on the ciphertext batch axis "
                          "and run ONE batched forward (amortized per-image "
@@ -250,7 +255,8 @@ def _run_encrypted(a, rp, imgs):
     ev = Evaluator(ctx, relin_key=kg.relin_key())
     enc = Encryptor(ctx, secret=kg.secret, seed=2)
     dec = Decryptor(ctx, kg.secret)
-    B = CkksBackend(ctx=ctx, ev=ev, enc=enc, dec=dec, default_level=lvl)
+    B = CkksBackend(ctx=ctx, ev=ev, enc=enc, dec=dec, default_level=lvl,
+                    no_ext_hoist=bool(a.no_ext_hoist))
     if a.headroom is not None:
         B.min_level_headroom = a.headroom
     log("relin key done")
